@@ -1,0 +1,186 @@
+"""ORB front-end unit tests vs NumPy oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam3_tpu.features.extractor import OrbParams, extract_jit
+from orbslam3_tpu.ops import brief, fast, gridselect, image, orient
+
+
+def checkerboard(h=120, w=160, sq=16):
+    y, x = np.mgrid[0:h, 0:w]
+    img = (((y // sq) + (x // sq)) % 2) * 200.0 + 20.0
+    return jnp.asarray(img, jnp.float32)
+
+
+def fast_oracle(img, th):
+    """Brute-force FAST-9 corner test in NumPy."""
+    img = np.asarray(img)
+    h, w = img.shape
+    out = np.zeros((h, w), bool)
+    circle = fast.CIRCLE
+    for y in range(3, h - 3):
+        for x in range(3, w - 3):
+            v = img[y, x]
+            d = np.array([img[y + dy, x + dx] for dy, dx in circle])
+            bright = d > v + th
+            dark = d < v - th
+            for arr in (bright, dark):
+                ext = np.concatenate([arr, arr])
+                run = 0
+                best = 0
+                for b in ext:
+                    run = run + 1 if b else 0
+                    best = max(best, run)
+                if best >= 9:
+                    out[y, x] = True
+    return out
+
+
+class TestFast:
+    def test_vs_oracle_random(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.integers(0, 255, (48, 64)).astype(np.float32))
+        th = 20.0
+        score = fast.fast_score(img)
+        ours = np.asarray(score >= th)
+        theirs = fast_oracle(img, th)
+        # compare away from the border mask (ours masks 3px border already)
+        np.testing.assert_array_equal(ours[4:-4, 4:-4], theirs[4:-4, 4:-4])
+
+    def test_isolated_squares_have_corners(self):
+        # FAST-9 gives nothing on perfect checkerboard X-junctions (two runs
+        # of 8); use isolated bright squares whose L-corners do fire.
+        img = np.full((120, 160), 20.0, np.float32)
+        for y in range(10, 110, 24):
+            for x in range(10, 150, 24):
+                img[y:y + 10, x:x + 10] = 220.0
+        det = fast.detect(jnp.asarray(img), 20.0)
+        assert int(jnp.sum(det > 0)) > 10
+
+    def test_nms_isolates_peaks(self):
+        img = jnp.zeros((32, 32))
+        img = img.at[16, 16].set(255.0)
+        det = fast.detect(img, 10.0)
+        n = int(jnp.sum(det > 0))
+        assert n <= 4  # single bright dot yields few isolated responses
+
+
+class TestGridSelect:
+    def test_round_robin_uniformity(self):
+        # two clusters: dense strong cluster + sparse weak one; uniform
+        # selection must take from both
+        xy = jnp.array([[1.0, 1], [2, 1], [1, 2], [2, 2],   # cell A (dense)
+                        [60, 60]])                           # cell B (sparse)
+        resp = jnp.array([100.0, 90, 80, 70, 5.0])
+        valid = jnp.ones(5, bool)
+        sel = gridselect.select_uniform(xy, resp, valid, (64, 64), (2, 2), 2)
+        chosen = set(np.asarray(sel).tolist())
+        assert 4 in chosen  # the weak isolated point is selected
+        assert 0 in chosen  # plus the best of the dense cluster
+
+    def test_budget_and_padding(self):
+        xy = jnp.array([[1.0, 1], [2, 2]])
+        resp = jnp.array([10.0, 20.0])
+        valid = jnp.array([True, False])
+        sel = gridselect.select_uniform(xy, resp, valid, (8, 8), (2, 2), 4)
+        assert int(sel[0]) == 0
+        assert np.all(np.asarray(sel[1:]) == -1)
+
+
+class TestOrient:
+    def test_gradient_angle(self):
+        # horizontal intensity ramp -> centroid to the right -> angle ~ 0
+        y, x = np.mgrid[0:64, 0:64]
+        img = jnp.asarray(x.astype(np.float32) * 2)
+        ang = orient.ic_angle(img, jnp.array([[32, 32]]))
+        a = float(ang[0])
+        assert a < 5 or a > 355
+        # vertical ramp -> angle ~ 90 (y down)
+        img2 = jnp.asarray(y.astype(np.float32) * 2)
+        ang2 = float(orient.ic_angle(img2, jnp.array([[32, 32]]))[0])
+        assert abs(ang2 - 90) < 5
+
+    def test_rotation_consistency(self):
+        """Rotating the patch by 90 deg shifts the IC angle by ~90 deg."""
+        rng = np.random.default_rng(1)
+        patch = rng.random((65, 65)).astype(np.float32) * 255
+        img = jnp.asarray(patch)
+        img90 = jnp.asarray(np.rot90(patch, k=-1).copy())  # clockwise
+        a0 = float(orient.ic_angle(img, jnp.array([[32, 32]]))[0])
+        a90 = float(orient.ic_angle(img90, jnp.array([[32, 32]]))[0])
+        diff = (a90 - a0) % 360
+        assert abs(diff - 90) < 6
+
+
+class TestBrief:
+    def test_descriptor_determinism_and_bits(self):
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.random((128, 128)).astype(np.float32) * 255)
+        xy = jnp.array([[40.0, 40], [80, 60]])
+        ang = jnp.array([0.0, 45.0])
+        d1 = brief.compute_descriptors(img, xy, ang)
+        d2 = brief.compute_descriptors(img, xy, ang)
+        assert d1.shape == (2, 8) and d1.dtype == jnp.uint32
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_rotation_invariance(self):
+        """Descriptor of a rotated patch with compensated angle stays close."""
+        rng = np.random.default_rng(3)
+        base = rng.random((129, 129)).astype(np.float32) * 255
+        img = jnp.asarray(base)
+        img90 = jnp.asarray(np.rot90(base, k=-1).copy())
+        c = jnp.array([[64.0, 64.0]])
+        d0 = brief.compute_descriptors(image.gaussian_blur(img), c, jnp.array([0.0]))
+        d90 = brief.compute_descriptors(image.gaussian_blur(img90), c, jnp.array([90.0]))
+        dist = int(brief.hamming_distance(d0, d90)[0, 0])
+        assert dist < 40, dist  # matching threshold TH_LOW=30ish scale
+
+    def test_hamming_matmul_vs_popcount(self):
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.integers(0, 2**32, (16, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (12, 8), dtype=np.uint32))
+        d = np.asarray(brief.hamming_distance(a, b))
+        an, bn = np.asarray(a), np.asarray(b)
+        for i in range(16):
+            for j in range(12):
+                x = np.bitwise_xor(an[i], bn[j])
+                pc = sum(bin(int(v)).count("1") for v in x)
+                assert d[i, j] == pc
+
+
+class TestExtractor:
+    def test_end_to_end_synthetic(self):
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.integers(0, 255, (240, 320)).astype(np.float32))
+        p = OrbParams(n_features=300, n_levels=4)
+        ff = extract_jit(img, p)
+        n = int(jnp.sum(ff.valid))
+        assert n > 100, n
+        assert ff.xy.shape[0] == p.capacity
+        # coords within image bounds
+        v = np.asarray(ff.valid)
+        xy = np.asarray(ff.xy)[v]
+        assert xy[:, 0].min() >= 0 and xy[:, 0].max() < 320
+        assert xy[:, 1].min() >= 0 and xy[:, 1].max() < 240
+        # all octaves represented
+        assert len(set(np.asarray(ff.octave)[v].tolist())) >= 3
+
+    def test_repeatability_under_shift(self):
+        """Shift image by 5px -> keypoints shift accordingly (repeatability)."""
+        rng = np.random.default_rng(6)
+        base = rng.integers(0, 255, (260, 340)).astype(np.float32)
+        img1 = jnp.asarray(base[:240, :320])
+        img2 = jnp.asarray(base[5:245, 5:325])
+        p = OrbParams(n_features=300, n_levels=1)
+        f1 = extract_jit(img1, p)
+        f2 = extract_jit(img2, p)
+        xy1 = np.asarray(f1.xy)[np.asarray(f1.valid)]
+        xy2 = np.asarray(f2.xy)[np.asarray(f2.valid)] + 5.0
+        # match nearest neighbors
+        from scipy.spatial import cKDTree  # scipy available? fall back
+        tree = cKDTree(xy2)
+        d, _ = tree.query(xy1, k=1)
+        frac = float(np.mean(d < 1.0))
+        assert frac > 0.5, frac
