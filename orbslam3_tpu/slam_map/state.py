@@ -1,0 +1,218 @@
+"""Map state as fixed-capacity SoA arrays (the TPU replacement for the
+reference's mutex-laced KeyFrame/MapPoint object graph — SURVEY §7.1).
+
+Parity coverage:
+  * KeyFrame fields (reference include/KeyFrame.h): pose, timestamp, IMU
+    velocity/bias, frame id; covisibility is *derived* (segment-sum over
+    observations) instead of stored adjacency.
+  * MapPoint fields (include/MapPoint.h): position, representative
+    descriptor, viewing normal, scale-invariance distance range, the
+    found/visible counters used by MapPointCulling.
+  * Observations: COO (kf, pt, uv, octave) with validity masks — the
+    equivalent of both KeyFrame::mvpMapPoints and MapPoint::mObservations.
+
+All mutation is functional: ops return a new MapState; the host loop swaps
+versioned snapshots (this replaces Map::mMutexMapUpdate semantics —
+SURVEY §5.2/§7.4-7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MapCapacity:
+    n_kf: int = 256
+    n_pt: int = 24576
+    n_obs: int = 196608
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---------------------------------------------------------
+    kf_R: jnp.ndarray        # (K,3,3) R_cw
+    kf_t: jnp.ndarray        # (K,3)   t_cw
+    kf_vel: jnp.ndarray      # (K,3)   world-frame velocity (IMU)
+    kf_bias: jnp.ndarray     # (K,6)   [gyro, acc]
+    kf_ts: jnp.ndarray       # (K,)    timestamp (s)
+    kf_frame_id: jnp.ndarray  # (K,)   source frame id
+    kf_valid: jnp.ndarray    # (K,) bool
+    # --- map points --------------------------------------------------------
+    pt_xyz: jnp.ndarray      # (P,3) world
+    pt_desc: jnp.ndarray     # (P,8) uint32 representative descriptor
+    pt_normal: jnp.ndarray   # (P,3) mean viewing direction
+    pt_min_dist: jnp.ndarray  # (P,) scale-invariance range
+    pt_max_dist: jnp.ndarray  # (P,)
+    pt_ref_kf: jnp.ndarray   # (P,) first-observing KF
+    pt_found: jnp.ndarray    # (P,) int32 — times matched by tracker
+    pt_visible: jnp.ndarray  # (P,) int32 — times predicted visible
+    pt_first_frame: jnp.ndarray  # (P,) frame id at creation (culling window)
+    pt_valid: jnp.ndarray    # (P,) bool
+    # --- observations ------------------------------------------------------
+    obs_kf: jnp.ndarray      # (O,) int32
+    obs_pt: jnp.ndarray      # (O,) int32
+    obs_uv: jnp.ndarray      # (O,2)
+    obs_octave: jnp.ndarray  # (O,) int32
+    obs_valid: jnp.ndarray   # (O,) bool
+    # --- counters (traced scalars) ----------------------------------------
+    n_kf: jnp.ndarray        # () int32 next free kf slot
+    n_pt: jnp.ndarray        # () int32 next free point slot
+    n_obs: jnp.ndarray       # () int32 next free obs slot
+
+
+def empty_map(cap: MapCapacity) -> MapState:
+    K, P, O = cap.n_kf, cap.n_pt, cap.n_obs
+    return MapState(
+        kf_R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1)),
+        kf_t=jnp.zeros((K, 3), jnp.float32),
+        kf_vel=jnp.zeros((K, 3), jnp.float32),
+        kf_bias=jnp.zeros((K, 6), jnp.float32),
+        kf_ts=jnp.zeros(K, jnp.float32),
+        kf_frame_id=jnp.full(K, -1, jnp.int32),
+        kf_valid=jnp.zeros(K, bool),
+        pt_xyz=jnp.zeros((P, 3), jnp.float32),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_min_dist=jnp.zeros(P, jnp.float32),
+        pt_max_dist=jnp.full(P, jnp.inf, jnp.float32),
+        pt_ref_kf=jnp.full(P, -1, jnp.int32),
+        pt_found=jnp.zeros(P, jnp.int32),
+        pt_visible=jnp.zeros(P, jnp.int32),
+        pt_first_frame=jnp.full(P, -1, jnp.int32),
+        pt_valid=jnp.zeros(P, bool),
+        obs_kf=jnp.full(O, -1, jnp.int32),
+        obs_pt=jnp.full(O, -1, jnp.int32),
+        obs_uv=jnp.zeros((O, 2), jnp.float32),
+        obs_octave=jnp.zeros(O, jnp.int32),
+        obs_valid=jnp.zeros(O, bool),
+        n_kf=jnp.zeros((), jnp.int32),
+        n_pt=jnp.zeros((), jnp.int32),
+        n_obs=jnp.zeros((), jnp.int32),
+    )
+
+
+def add_keyframe(m: MapState, R, t, ts, frame_id, vel=None,
+                 bias=None) -> tuple[MapState, jnp.ndarray]:
+    """Append a keyframe; returns (map, kf_index)."""
+    i = m.n_kf
+    m = m._replace(
+        kf_R=m.kf_R.at[i].set(R),
+        kf_t=m.kf_t.at[i].set(t),
+        kf_ts=m.kf_ts.at[i].set(ts),
+        kf_frame_id=m.kf_frame_id.at[i].set(frame_id),
+        kf_vel=m.kf_vel.at[i].set(jnp.zeros(3) if vel is None else vel),
+        kf_bias=m.kf_bias.at[i].set(jnp.zeros(6) if bias is None else bias),
+        kf_valid=m.kf_valid.at[i].set(True),
+        n_kf=i + 1,
+    )
+    return m, i
+
+
+def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
+               ref_kf, frame_id, new_valid) -> tuple[MapState, jnp.ndarray]:
+    """Append a fixed-size chunk of candidate points (masked by new_valid).
+
+    Compacts the chunk so valid entries are contiguous, then writes at
+    n_pt.  Returns (map, point_indices (B,) with -1 for invalid entries).
+    """
+    B = xyz.shape[0]
+    order = jnp.argsort(~new_valid)  # valid first, stable
+    xyz, desc = xyz[order], desc[order]
+    normal = normal[order]
+    min_dist, max_dist = min_dist[order], max_dist[order]
+    v = new_valid[order]
+    n_new = jnp.sum(v.astype(jnp.int32))
+    base = m.n_pt
+    dst = base + jnp.arange(B, dtype=jnp.int32)
+    write = jnp.arange(B) < n_new
+    dst_c = jnp.where(write, dst, m.pt_xyz.shape[0] - 1)  # park writes at end
+
+    def wr(arr, vals):
+        return arr.at[dst_c].set(jnp.where(write.reshape((B,) + (1,) * (vals.ndim - 1)),
+                                           vals, arr[dst_c]))
+
+    m = m._replace(
+        pt_xyz=wr(m.pt_xyz, xyz),
+        pt_desc=wr(m.pt_desc, desc),
+        pt_normal=wr(m.pt_normal, normal),
+        pt_min_dist=wr(m.pt_min_dist, min_dist),
+        pt_max_dist=wr(m.pt_max_dist, max_dist),
+        pt_ref_kf=wr(m.pt_ref_kf, jnp.full(B, ref_kf, jnp.int32)),
+        pt_first_frame=wr(m.pt_first_frame, jnp.full(B, frame_id, jnp.int32)),
+        pt_found=wr(m.pt_found, jnp.ones(B, jnp.int32)),
+        pt_visible=wr(m.pt_visible, jnp.ones(B, jnp.int32)),
+        pt_valid=wr(m.pt_valid, write),
+        n_pt=base + n_new,
+    )
+    # map back: entry j of the original chunk -> its destination or -1
+    inv = jnp.argsort(order)
+    idx_sorted = jnp.where(write, dst, -1)
+    return m, idx_sorted[inv]
+
+
+def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
+                     valid) -> MapState:
+    """Append a fixed-size chunk of observations (masked)."""
+    B = pt_idx.shape[0]
+    v = valid & (pt_idx >= 0)
+    order = jnp.argsort(~v)
+    pt_s, uv_s, oct_s, v_s = pt_idx[order], uv[order], octave[order], v[order]
+    n_new = jnp.sum(v_s.astype(jnp.int32))
+    base = m.n_obs
+    dst = base + jnp.arange(B, dtype=jnp.int32)
+    write = jnp.arange(B) < n_new
+    dst_c = jnp.where(write, dst, m.obs_kf.shape[0] - 1)
+
+    def wr(arr, vals):
+        return arr.at[dst_c].set(jnp.where(write.reshape((B,) + (1,) * (vals.ndim - 1)),
+                                           vals, arr[dst_c]))
+
+    return m._replace(
+        obs_kf=wr(m.obs_kf, jnp.full(B, kf_idx, jnp.int32)),
+        obs_pt=wr(m.obs_pt, pt_s),
+        obs_uv=wr(m.obs_uv, uv_s),
+        obs_octave=wr(m.obs_octave, oct_s),
+        obs_valid=wr(m.obs_valid, write),
+        n_obs=base + n_new,
+    )
+
+
+def point_obs_count(m: MapState) -> jnp.ndarray:
+    """(P,) number of valid observations per point (derived, replaces
+    MapPoint::Observations())."""
+    P = m.pt_xyz.shape[0]
+    w = (m.obs_valid & m.pt_valid[jnp.clip(m.obs_pt, 0, P - 1)]).astype(jnp.int32)
+    return jnp.zeros(P, jnp.int32).at[jnp.clip(m.obs_pt, 0, P - 1)].add(w)
+
+
+def covisibility_weights(m: MapState, kf_idx: jnp.ndarray) -> jnp.ndarray:
+    """(K,) shared-point counts between `kf_idx` and every other KF
+    (reference KeyFrame::UpdateConnections, src/KeyFrame.cc:459)."""
+    P = m.pt_xyz.shape[0]
+    K = m.kf_R.shape[0]
+    ov = m.obs_valid & m.pt_valid[jnp.clip(m.obs_pt, 0, P - 1)]
+    seen_by_kf = jnp.zeros(P, bool).at[jnp.clip(m.obs_pt, 0, P - 1)].max(
+        ov & (m.obs_kf == kf_idx))
+    w = (ov & seen_by_kf[jnp.clip(m.obs_pt, 0, P - 1)]).astype(jnp.int32)
+    counts = jnp.zeros(K, jnp.int32).at[jnp.clip(m.obs_kf, 0, K - 1)].add(w)
+    return counts.at[kf_idx].set(0)
+
+
+def cull_points(m: MapState, current_frame_id, min_found_ratio: float = 0.25,
+                min_obs: int = 3, window: int = 90) -> MapState:
+    """MapPointCulling parity (reference src/LocalMapping.cc:371-410):
+    recent points must keep found/visible >= 0.25 and reach >= min_obs
+    observations within ~2-3 KFs of creation (approximated by a frame-id
+    window since KF cadence is variable)."""
+    age = current_frame_id - m.pt_first_frame
+    ratio = m.pt_found.astype(jnp.float32) / \
+        jnp.maximum(m.pt_visible.astype(jnp.float32), 1.0)
+    nobs = point_obs_count(m)
+    bad = (ratio < min_found_ratio) | ((age > window) & (nobs < min_obs))
+    keep = m.pt_valid & ~(bad & (age <= 3 * window))
+    # points older than 3*window that survived are kept permanently
+    return m._replace(pt_valid=keep)

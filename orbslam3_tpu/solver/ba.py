@@ -1,0 +1,228 @@
+"""Visual bundle adjustment: batched Levenberg-Marquardt with Schur
+complement on the camera-point system.
+
+Parity targets (reference src/Optimizer.cc):
+  * BundleAdjustment / GlobalBundleAdjustemnt (:60-369) — full-map visual
+    BA, marginalized points, Huber sqrt(5.991) mono, LM;
+  * LocalBundleAdjustment (:1069-1360) — window of cameras, fixed boundary
+    cameras, 10 iterations.
+
+TPU design (SURVEY §7.1): observations are a fixed-capacity COO list
+(cam_idx, pt_idx, uv, inv_sigma2, valid).  Per LM iteration:
+  1. residuals/Jacobians for all observations in one batch;
+  2. point blocks H_pp (3x3) inverted in closed form;
+  3. reduced camera system assembled as ONE matmul over a dense
+     camera-point interaction tensor C (K, P, 6, 3):
+        S = H_cc_diag - C @ C^T  (contracting P*3),
+     which rides the MXU instead of sparse scatter-gather;
+  4. dense Cholesky solve of the (6K, 6K) reduced system;
+  5. point back-substitution, batched.
+Fixed cameras are handled by zeroing their Jacobians (their blocks stay
+identity).  LM acceptance is branch-free (jnp.where on the carried state).
+
+This module is the single-device core; orbslam3_tpu/parallel shards the
+same assembly over a device mesh (points partitioned, psum on S).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import cameras, lie
+from . import robust
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity visual BA problem (COO observations)."""
+    # cameras
+    R: jnp.ndarray           # (K, 3, 3) R_cw
+    t: jnp.ndarray           # (K, 3)
+    cam_fixed: jnp.ndarray   # (K,) bool — pose held constant
+    cam_valid: jnp.ndarray   # (K,) bool
+    # points
+    X: jnp.ndarray           # (P, 3)
+    pt_valid: jnp.ndarray    # (P,) bool
+    # observations
+    obs_cam: jnp.ndarray     # (O,) int32
+    obs_pt: jnp.ndarray      # (O,) int32
+    obs_uv: jnp.ndarray      # (O, 2)
+    obs_inv_sigma2: jnp.ndarray  # (O,)
+    obs_valid: jnp.ndarray   # (O,) bool
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    X: jnp.ndarray
+    obs_chi2: jnp.ndarray    # (O,) final chi2 per observation
+    cost: jnp.ndarray        # robust total cost
+
+
+def _residuals(prob: BAProblem, R, t, X, cam_model, cam_params):
+    ci, pi = prob.obs_cam, prob.obs_pt
+    Xc = lie.se3_apply(R[ci], t[ci], X[pi])
+    e = prob.obs_uv - cameras.project(cam_model, cam_params, Xc)
+    return e, Xc
+
+
+def _jacobians(prob: BAProblem, R, t, X, cam_model, cam_params):
+    """Per-observation residual + Jacobians wrt camera (left-mult se3) and
+    point (world).  Returns e (O,2), Jc (O,2,6), Jp (O,2,3), Xc."""
+    ci, pi = prob.obs_cam, prob.obs_pt
+    Xc = lie.se3_apply(R[ci], t[ci], X[pi])
+    e = prob.obs_uv - cameras.project(cam_model, cam_params, Xc)
+    Jproj = cameras.project_jac(cam_model, cam_params, Xc)   # (O,2,3)
+    O = ci.shape[0]
+    dXc_dcam = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), (O, 3, 3)), -lie.hat(Xc)], axis=-1)
+    Jc = -jnp.einsum("nij,njk->nik", Jproj, dXc_dcam, precision=_HI)
+    Jp = -jnp.einsum("nij,njk->nik", Jproj, R[ci], precision=_HI)
+    return e, Jc, Jp, Xc
+
+
+def _spd_inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form inverse of SPD 3x3 blocks via adjugate."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([co00, co01, co02], -1),
+        jnp.stack([co01, co11, co12], -1),
+        jnp.stack([co02, co12, co22], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def _build_normal_eq(prob: BAProblem, R, t, X, cam_model, cam_params,
+                     chi2_th: float, use_robust: bool):
+    """Weighted residuals/Jacobians and the Schur pieces."""
+    e, Jc, Jp, _ = _jacobians(prob, R, t, X, cam_model, cam_params)
+    w_info = prob.obs_inv_sigma2
+    chi2 = jnp.sum(e * e, axis=-1) * w_info
+    w_rob = robust.huber_weight(chi2, chi2_th ** 0.5) if use_robust else 1.0
+    m = prob.obs_valid & prob.pt_valid[prob.obs_pt] & prob.cam_valid[prob.obs_cam]
+    w = w_info * w_rob * m.astype(jnp.float32)
+    # zero out jacobians of fixed cameras
+    free_cam = (~prob.cam_fixed)[prob.obs_cam].astype(jnp.float32)
+    Jc = Jc * free_cam[:, None, None]
+
+    K = prob.R.shape[0]
+    P = prob.X.shape[0]
+    wJc = Jc * w[:, None, None]
+    # camera diag blocks and gradient
+    Hcc = jnp.zeros((K, 6, 6)).at[prob.obs_cam].add(
+        jnp.einsum("nik,nil->nkl", wJc, Jc, precision=_HI))
+    bc = jnp.zeros((K, 6)).at[prob.obs_cam].add(
+        -jnp.einsum("nik,ni->nk", wJc, e, precision=_HI))
+    # point blocks and gradient
+    wJp = Jp * w[:, None, None]
+    Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
+        jnp.einsum("nik,nil->nkl", wJp, Jp, precision=_HI))
+    bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+        -jnp.einsum("nik,ni->nk", wJp, e, precision=_HI))
+    # camera-point coupling, densified: Ccp[cam, pt] = J_c^T W J_p (6,3)
+    Ccp = jnp.zeros((K, P, 6, 3)).at[prob.obs_cam, prob.obs_pt].add(
+        jnp.einsum("nik,nil->nkl", wJc, Jp, precision=_HI))
+    cost = jnp.sum(jnp.where(use_robust,
+                             _huber_cost(chi2, chi2_th ** 0.5), chi2) *
+                   m.astype(jnp.float32))
+    return Hcc, bc, Hpp, bp, Ccp, cost, chi2, m
+
+
+def _huber_cost(chi2, delta):
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    return jnp.where(e <= delta, chi2, 2 * delta * e - delta * delta)
+
+
+def _cost_only(prob: BAProblem, R, t, X, cam_model, cam_params,
+               chi2_th: float, use_robust: bool):
+    e, _ = _residuals(prob, R, t, X, cam_model, cam_params)
+    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
+    m = (prob.obs_valid & prob.pt_valid[prob.obs_pt] &
+         prob.cam_valid[prob.obs_cam]).astype(jnp.float32)
+    c = _huber_cost(chi2, chi2_th ** 0.5) if use_robust else chi2
+    return jnp.sum(c * m)
+
+
+def _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam, cam_fixed, pt_valid):
+    """One LM step: returns (dx_cam (K,6), dx_pt (P,3))."""
+    P = Hpp.shape[0]
+    K = Hcc.shape[0]
+    # additive LM damping on both blocks (g2o: H + lambda I)
+    Hcc_d = Hcc + lam * jnp.eye(6)[None]
+    Hpp_d = Hpp + lam * jnp.eye(3)[None]
+    # guard empty points/cameras: make their blocks identity
+    pt_on = pt_valid.astype(jnp.float32)[:, None, None]
+    Hpp_d = Hpp_d * pt_on + jnp.eye(3)[None] * (1 - pt_on)
+    Hpp_inv = _spd_inv3(Hpp_d)
+
+    # S = Hcc_d - sum_p Ccp Hpp_inv Ccp^T ; rhs = bc - sum_p Ccp Hpp_inv bp
+    CW = jnp.einsum("kpij,pjl->kpil", Ccp, Hpp_inv, precision=_HI)  # (K,P,6,3)
+    S_off = jnp.einsum("kpil,qpml->kqim", CW, Ccp, precision=_HI)   # (K,K,6,6)
+    rhs = bc - jnp.einsum("kpil,pl->ki", CW, bp, precision=_HI)
+
+    S = -S_off
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+    # fixed cameras: identity rows/cols, zero rhs
+    free = (~cam_fixed).astype(jnp.float32)
+    ff = free[:, None] * free[None, :]
+    S = S * ff[:, :, None, None]
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.eye(6)[None] * (1 - free)[:, None, None])
+    rhs = rhs * free[:, None]
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    dx_cam = jnp.linalg.solve(Sd, rhs.reshape(K * 6)).reshape(K, 6)
+    # back-substitute points: dx_p = Hpp_inv (bp - Ccp^T dx_cam)
+    delta_p = bp - jnp.einsum("kpil,ki->pl", Ccp, dx_cam, precision=_HI)
+    dx_pt = jnp.einsum("pij,pj->pi", Hpp_inv, delta_p, precision=_HI)
+    dx_pt = dx_pt * pt_valid.astype(jnp.float32)[:, None]
+    return dx_cam, dx_pt
+
+
+def bundle_adjust(prob: BAProblem, cam_model: str, cam_params,
+                  iterations: int = 10, lam0: float = 1e-5,
+                  chi2_th: float = robust.CHI2_MONO,
+                  use_robust: bool = True) -> BAResult:
+    """LM loop with branch-free accept/reject (reference uses g2o LM;
+    iteration counts per call site: 20 init GBA, 10 local, 25 inertial)."""
+
+    def step(carry, _):
+        R, t, X, lam, cost = carry
+        Hcc, bc, Hpp, bp, Ccp, cur_cost, _, _ = _build_normal_eq(
+            prob, R, t, X, cam_model, cam_params, chi2_th, use_robust)
+        dx_cam, dx_pt = _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam,
+                                     prob.cam_fixed, prob.pt_valid)
+        dR, dt = lie.se3_exp(dx_cam)
+        R_new, t_new = lie.se3_compose(dR, dt, R, t)
+        R_new = lie.normalize_rotation(R_new)
+        X_new = X + dx_pt
+        new_cost = _cost_only(prob, R_new, t_new, X_new, cam_model,
+                              cam_params, chi2_th, use_robust)
+        accept = new_cost < cur_cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (R, t, X, lam, jnp.minimum(new_cost, cur_cost)), None
+
+    init = (prob.R, prob.t, prob.X, jnp.asarray(lam0, jnp.float32),
+            jnp.asarray(jnp.inf, jnp.float32))
+    (R, t, X, _, cost), _ = jax.lax.scan(step, init, None, length=iterations)
+
+    e, _ = _residuals(prob, R, t, X, cam_model, cam_params)
+    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
+    return BAResult(R=R, t=t, X=X, obs_chi2=chi2, cost=cost)
