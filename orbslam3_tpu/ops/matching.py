@@ -84,12 +84,16 @@ def match_nn(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         valid = rotation_histogram_filter(rot, valid)
 
     # resolve duplicate targets: keep the lowest-distance row per column
-    # (the reference overwrites earlier matches when a closer one arrives)
+    # (the reference overwrites earlier matches when a closer one arrives).
+    # key = dist * n + row must stay in int32: clamp dist to 9 bits (any
+    # value > 256 is already invalid for 256-bit descriptors).
     n = d.shape[0]
-    order_key = best.astype(jnp.int32) * n + jnp.arange(n)
+    sentinel = jnp.iinfo(jnp.int32).max
+    order_key = jnp.minimum(best, 512) * n + jnp.arange(n)
     # winner per column = row with min (dist, row) among rows matched to it
-    col_winner = jnp.full(d.shape[1], BIG * n, jnp.int32)
-    col_winner = col_winner.at[best_idx].min(jnp.where(valid, order_key, BIG * n))
+    col_winner = jnp.full(d.shape[1], sentinel, jnp.int32)
+    col_winner = col_winner.at[best_idx].min(jnp.where(valid, order_key,
+                                                       sentinel))
     valid &= col_winner[best_idx] == order_key
 
     return Matches(idx=jnp.where(valid, best_idx, -1),

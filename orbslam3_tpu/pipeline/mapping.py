@@ -202,7 +202,11 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
     o_pt = pt_inv[obs_pt_c[obs_sel]]
     inv_sigma2 = 1.0 / sf[jnp.clip(m.obs_octave[obs_sel], 0,
                                    n_levels - 1)] ** 2
-    fixed = ~in_window[cam_sel] | (cam_sel < 2)  # first 2 KFs pin the gauge
+    # gauge: KF0 always fixed; everything outside the window is an anchor.
+    # (the init-map GBA window covers KFs {0,1}: KF0 pins the frame, the
+    # median-depth normalization pins scale before BA — matching the
+    # reference's CreateInitialMapMonocular, src/Tracking.cc:642-768)
+    fixed = ~in_window[cam_sel] | (cam_sel < 1)
     prob = ba.BAProblem(
         R=m.kf_R[cam_sel], t=m.kf_t[cam_sel],
         cam_fixed=fixed, cam_valid=cam_sel_valid,

@@ -49,7 +49,7 @@ def track_local_map(m: mapstate.MapState, ff: FeatureFrame,
                     R_guess, t_guess, cam_model: str, cam_params,
                     image_hw: tuple[int, int],
                     scale_factor: float = 1.2, n_levels: int = 8,
-                    radius_th: float = 4.0,
+                    radius_th=4.0,
                     nn_ratio: float = 0.8) -> TrackResult:
     """Project all valid map points into the predicted frame, match by
     projection gates, then pose-only optimize.
