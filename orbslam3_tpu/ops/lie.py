@@ -73,15 +73,23 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_unnorm = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
-    # generic: axis * theta = w_unnorm * theta / sin(theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0,
-                      theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, sin_t))
+    # AD-safe angle: derive sin from |w_unnorm| with the double-where trick
+    # (arccos has an infinite derivative at +-1, which poisons jacfwd
+    # through residuals that are ~0 at the linearization point).
+    s2 = jnp.sum(w_unnorm * w_unnorm, axis=-1)
+    small = s2 < 1e-10
+    s2_safe = jnp.where(small, 1.0, s2)
+    sin_t = jnp.sqrt(s2_safe)
+    theta = jnp.arctan2(sin_t, cos_t)
+    near_pi = cos_t < jnp.cos(jnp.pi - 1e-3)
+    # generic: axis * theta = w_unnorm * theta / sin(theta);
+    # small angle: log ~= w_unnorm (linear in R — safe gradients)
+    scale = jnp.where(small, 1.0, theta / sin_t)
     w_generic = w_unnorm * scale[..., None]
+    # near-pi angle from sin alone (clipped for finite gradients)
+    theta = jnp.pi - jnp.arcsin(
+        jnp.clip(jnp.sqrt(s2 + 1e-20), 0.0, 1.0 - 1e-7))
     # near pi: axis from diagonal of (R + I)/2 = axis axis^T (1-cos)+...
     #   R + I ~ 2 axis axis^T at theta = pi
     B = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)

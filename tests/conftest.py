@@ -5,6 +5,9 @@ Must set env vars before jax initializes, so this conftest is imported first.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the CPU test cache separate from the TPU cache (the TPU-side AOT
+# entries trigger noisy machine-feature warnings when loaded on CPU)
+os.environ.setdefault("ORBSLAM3_TPU_JAX_CACHE", "/tmp/orbslam3_jax_cache_cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
