@@ -1,0 +1,291 @@
+"""Monocular-inertial SLAM system.
+
+Parity targets:
+  * IMU queue + per-frame preintegration with boundary handling
+    (reference Tracking::GrabImuData / PreintegrateIMU,
+    src/Tracking.cc:176-290 — two parallel integrations: since last KF
+    and since last frame);
+  * pose prediction from IMU after initialization
+    (Tracking::PredictStateIMU, src/Tracking.cc:293-350);
+  * staged IMU initialization (LocalMapping::InitializeIMU,
+    src/LocalMapping.cc:1080): after `init_time_s` of keyframes, run the
+    inertial-only optimizer, reject scale < 0.1, re-anchor every pose/
+    point/velocity with the recovered Sim3(gravity, scale)
+    (Map::UpdateKFsAndMapCoordianteFrames, src/Map.cc:253), then a
+    visual-inertial full BA (FullInertialBA);
+  * post-init: keyframe velocities/biases live in the map state and the
+    local BA becomes visual-inertial over the temporal window
+    (LocalInertialBA semantics).
+
+Body/camera: camera pose Tcw is the map's native pose;
+Tbc (body <- camera) is the fixed extrinsic; body pose used by IMU terms
+is Twb = (Tbc Tcw)^-1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import imu as imu_ops
+from ..ops import lie
+from ..slam_map import state as mapstate
+from ..solver import inertial as inertial_solver
+from . import system as base
+
+
+@dataclasses.dataclass(frozen=True)
+class InertialConfig:
+    imu_freq: float = 200.0
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3e-3
+    Tbc: tuple = ()              # 4x4 row-major; empty = identity
+    init_time_s: float = 2.0     # KF time before inertial init
+    init_min_kfs: int = 6
+    refine_time_s: float = 5.0   # second FIBA stage (VIBA1)
+    max_imu_per_frame: int = 64  # preintegration buffer capacity
+    max_factors: int = 256       # KF-to-KF preintegration capacity
+
+
+class InertialSystem(base.System):
+    def __init__(self, config: base.SlamConfig, icfg: InertialConfig):
+        super().__init__(config)
+        self.icfg = icfg
+        if icfg.Tbc:
+            Tbc = np.asarray(icfg.Tbc, np.float64).reshape(4, 4)
+        else:
+            Tbc = np.eye(4)
+        # Tbc: body <- camera (x_b = Rbc x_c + tbc); Tcb is its inverse
+        self.Rbc = jnp.asarray(Tbc[:3, :3], jnp.float32)
+        self.tbc_vec = jnp.asarray(Tbc[:3, 3], jnp.float32)
+        self.Rcb = self.Rbc.T
+        self.tcb = -self.Rbc.T @ self.tbc_vec
+        self.calib = imu_ops.ImuCalib.create(
+            icfg.noise_gyro, icfg.noise_acc, icfg.walk_gyro, icfg.walk_acc,
+            icfg.imu_freq, Tbc_R=Tbc[:3, :3], Tbc_t=Tbc[:3, 3])
+        # IMU state
+        self.imu_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.kf_imu_buffer: list = []    # samples since last KF
+        self.last_frame_ts: Optional[float] = None
+        self.imu_initialized = False
+        self.viba1_done = False
+        self.bias = jnp.zeros(6)
+        self.vel = jnp.zeros(3)          # body velocity, world frame
+        self.last_body = None            # (Rwb, pwb) of previous frame
+        self.preints: list = []          # per KF-interval Preintegrated
+        self.preint_kf_pairs: list[tuple[int, int]] = []
+        self.kf_time0 = None
+        self._build_inertial_jits()
+
+    def _build_inertial_jits(self):
+        cal = self.calib
+
+        @jax.jit
+        def _preint(acc, gyro, dt, mask, bias):
+            return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
+
+        self._preint = _preint
+
+    # ------------------------------------------------------------------ api
+    def grab_imu(self, ts: float, gyro, acc):
+        self.imu_queue.append((ts, np.asarray(gyro, np.float32),
+                               np.asarray(acc, np.float32)))
+
+    def track_monocular(self, img, ts: float, features=None):
+        self._frame_preint = self._preintegrate_interval(
+            self.last_frame_ts, ts)
+        self.last_frame_ts = ts
+        return super().track_monocular(img, ts, features)
+
+    # -------------------------------------------------------- preintegration
+    def _preintegrate_interval(self, t0: Optional[float], t1: float):
+        """Preintegrate queued samples in (t0, t1] with boundary
+        interpolation like the reference (first/last sample split)."""
+        if t0 is None:
+            # drop stale samples, no preintegration for first frame
+            self.imu_queue = [s for s in self.imu_queue if s[0] > t1 - 1e-9]
+            return None
+        take = [s for s in self.imu_queue if s[0] <= t1]
+        self.imu_queue = self.imu_queue[len(take):]
+        self.kf_imu_buffer.extend(take)
+        if not take:
+            return None
+        cap = self.icfg.max_imu_per_frame
+        n = min(len(take), cap)
+        acc = np.zeros((cap, 3), np.float32)
+        gyr = np.zeros((cap, 3), np.float32)
+        dts = np.zeros(cap, np.float32)
+        prev_t = t0
+        for i, (st, g, a) in enumerate(take[:n]):
+            acc[i] = a
+            gyr[i] = g
+            dts[i] = max(st - prev_t, 0.0)
+            prev_t = st
+        # stretch last sample to cover until t1
+        if t1 > prev_t and n > 0:
+            dts[n - 1] += t1 - prev_t
+        mask = np.arange(cap) < n
+        return self._preint(jnp.asarray(acc), jnp.asarray(gyr),
+                            jnp.asarray(dts), jnp.asarray(mask), self.bias)
+
+    # -------------------------------------------------------------- tracking
+    def _track_frame(self, ff, ts):
+        if self.imu_initialized and self.last_body is not None and \
+                self._frame_preint is not None:
+            Rwb, pwb = self.last_body
+            R2, p2, v2 = imu_ops.predict_state(
+                Rwb, pwb, self.vel, self.bias, self._frame_preint)
+            # convert predicted body pose to camera pose guess
+            Rg, tg = self._body_to_cam(R2, p2)
+            radius = 4.0
+            tr, self.map = self._track(self.map, ff, Rg, tg,
+                                       jnp.asarray(radius, jnp.float32))
+            n_inl = int(tr.n_inliers)
+            if n_inl < max(8, self.cfg.min_track_inliers // 3):
+                self._reset()
+                return
+            self.R_prev, self.t_prev = self.R_cur, self.t_cur
+            self.R_cur, self.t_cur = tr.R, tr.t
+            self.has_velocity = True
+            self.vel = v2
+            self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
+            need_kf = (self.frame_id - self.last_kf_id >=
+                       self.cfg.max_frames_between_kf) or \
+                (n_inl < self.cfg.kf_inlier_ratio *
+                 max(self.inliers_at_last_kf, 1))
+            if need_kf and int(self.map.n_kf) < \
+                    self.cfg.map_capacity.n_kf - 1:
+                self._insert_keyframe(ff, tr, ts)
+        else:
+            super()._track_frame(ff, ts)
+            if self.state == base.OK:
+                self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
+
+    def _body_to_cam(self, Rwb, pwb):
+        """Twb -> Tcw given extrinsics."""
+        # Tcw = Tcb * Tbw;  Tbw = (Twb)^-1
+        Rbw = Rwb.T
+        tbw = -Rbw @ pwb
+        Rcw = self.Rcb @ Rbw
+        tcw = self.Rcb @ tbw + self.tcb
+        return Rcw, tcw
+
+    def _cam_to_body(self, Rcw, tcw):
+        """Tcw -> Twb:  Tbw = Tbc Tcw, Twb = Tbw^-1."""
+        Rbw = self.Rbc @ Rcw
+        tbw = self.Rbc @ tcw + self._tbc
+        Rwb = Rbw.T
+        pwb = -Rwb @ tbw
+        return Rwb, pwb
+
+    @property
+    def _tbc(self):
+        """Translation of Tbc (body <- camera) = -Rbc tcb... stored direct."""
+        return self.tbc_vec
+
+    # -------------------------------------------------------------- keyframe
+    def _insert_keyframe(self, ff, tr, ts):
+        prev_idx = self.last_kf_idx
+        prev_ts = float(self.map.kf_ts[prev_idx])
+        # finalize KF-interval preintegration from the buffered samples
+        st = self._preintegrate_buffer(prev_ts, ts)
+        super()._insert_keyframe(ff, tr, ts)
+        new_idx = self.last_kf_idx
+        if st is not None:
+            self.preints.append(st)
+            self.preint_kf_pairs.append((prev_idx, new_idx))
+        # store velocity/bias in the map
+        self.map = self.map._replace(
+            kf_vel=self.map.kf_vel.at[new_idx].set(self.vel),
+            kf_bias=self.map.kf_bias.at[new_idx].set(self.bias))
+        if self.kf_time0 is None:
+            self.kf_time0 = ts
+        if not self.imu_initialized and \
+                len(self.preints) >= self.icfg.init_min_kfs and \
+                ts - self.kf_time0 >= self.icfg.init_time_s:
+            self._initialize_imu()
+
+    def _preintegrate_buffer(self, t0: float, t1: float):
+        take = [s for s in self.kf_imu_buffer if t0 < s[0] <= t1]
+        self.kf_imu_buffer = [s for s in self.kf_imu_buffer if s[0] > t1]
+        if len(take) < 3:
+            return None
+        cap = self.icfg.max_imu_per_frame * 16
+        n = min(len(take), cap)
+        acc = np.zeros((cap, 3), np.float32)
+        gyr = np.zeros((cap, 3), np.float32)
+        dts = np.zeros(cap, np.float32)
+        prev_t = t0
+        for i, (st, g, a) in enumerate(take[:n]):
+            acc[i] = a
+            gyr[i] = g
+            dts[i] = max(st - prev_t, 0.0)
+            prev_t = st
+        if t1 > prev_t:
+            dts[n - 1] += t1 - prev_t
+        mask = np.arange(cap) < n
+        return imu_ops.preintegrate(jnp.asarray(acc), jnp.asarray(gyr),
+                                    jnp.asarray(dts), jnp.asarray(mask),
+                                    self.calib, self.bias)
+
+    # -------------------------------------------------------------- IMU init
+    def _initialize_imu(self):
+        """Gravity/scale/bias initialization + map re-anchoring."""
+        m = self.map
+        ki = [p[0] for p in self.preint_kf_pairs]
+        kj = [p[1] for p in self.preint_kf_pairs]
+        f = inertial_solver.stack_preints(self.preints, ki, kj,
+                                          capacity=len(self.preints))
+        K = m.kf_R.shape[0]
+        # body poses of all KFs: Twb = (Tbc Tcw)^-1
+        Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, m.kf_R)
+        tbw = jnp.einsum("ij,kj->ki", self.Rbc, m.kf_t) + self._tbc
+        Rwb = jnp.swapaxes(Rbw, 1, 2)
+        pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
+        res = inertial_solver.inertial_only_init(
+            f, Rwb, pwb, m.kf_valid, iterations=60)
+        s = float(res.scale)
+        if s < 0.1:   # reference rejects scale < 0.1 (LocalMapping.cc:1166)
+            return
+        # re-anchor: x' = s * Rgw x  with Rgw = Rwg^T
+        Rgw = res.Rwg.T
+        self._apply_world_sim3(Rgw, s)
+        # velocities from the init: already metric (the solver scales
+        # positions internally), only rotate into the gravity frame
+        vel_new = jnp.einsum("ij,kj->ki", Rgw, res.vel)
+        self.map = self.map._replace(
+            kf_vel=vel_new,
+            kf_bias=jnp.tile(res.bias[None, :], (K, 1)))
+        self.bias = res.bias
+        nk = int(self.map.n_kf)
+        self.vel = vel_new[self.last_kf_idx]
+        # reintegrate factors at the new bias (reference Reintegrate())
+        # (first-order bias correction is already inside the residual; the
+        # stored factors keep their linearization point b0)
+        self.imu_initialized = True
+        # refresh tracker pose after re-anchoring
+        self.R_cur = self.map.kf_R[self.last_kf_idx]
+        self.t_cur = self.map.kf_t[self.last_kf_idx]
+        self.R_prev, self.t_prev = self.R_cur, self.t_cur
+        self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
+        self.has_velocity = False
+
+    def _apply_world_sim3(self, Rg, s: float):
+        """World transform x' = s Rg x applied to every KF/point/velocity
+        (reference Map::UpdateKFsAndMapCoordianteFrames)."""
+        m = self.map
+        kf_R = jnp.einsum("kij,lj->kil", m.kf_R, Rg)  # R_cw Rg^T
+        kf_t = m.kf_t * s
+        pt = s * jnp.einsum("ij,kj->ki", Rg, m.pt_xyz)
+        vel = s * jnp.einsum("ij,kj->ki", Rg, m.kf_vel)
+        nrm = jnp.einsum("ij,kj->ki", Rg, m.pt_normal)
+        self.map = m._replace(kf_R=kf_R, kf_t=kf_t, pt_xyz=pt, kf_vel=vel,
+                              pt_normal=nrm,
+                              pt_min_dist=m.pt_min_dist * s,
+                              pt_max_dist=m.pt_max_dist * s)

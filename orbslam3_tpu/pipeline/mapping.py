@@ -205,8 +205,14 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
     # gauge: KF0 always fixed; everything outside the window is an anchor.
     # (the init-map GBA window covers KFs {0,1}: KF0 pins the frame, the
     # median-depth normalization pins scale before BA — matching the
-    # reference's CreateInitialMapMonocular, src/Tracking.cc:642-768)
+    # reference's CreateInitialMapMonocular, src/Tracking.cc:642-768.)
+    # With >= 3 cameras and no out-of-window anchors the mono scale gauge
+    # is free and LM can slide it; pin KF1 as well in that case.
     fixed = ~in_window[cam_sel] | (cam_sel < 1)
+    n_prob_cams = jnp.sum(cam_sel_valid.astype(jnp.int32))
+    n_anchors = jnp.sum((fixed & cam_sel_valid).astype(jnp.int32))
+    need_second = (n_anchors < 2) & (n_prob_cams >= 3)
+    fixed = fixed | ((cam_sel == 1) & need_second)
     prob = ba.BAProblem(
         R=m.kf_R[cam_sel], t=m.kf_t[cam_sel],
         cam_fixed=fixed, cam_valid=cam_sel_valid,

@@ -329,7 +329,13 @@ class System:
         m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
         m = self._local_ba(m, jnp.asarray(ki, jnp.int32))
         self.map = m
-        # refresh tracker pose from the optimized keyframe
+        # refresh tracker pose from the optimized keyframe; propagate the
+        # same correction to the previous-frame pose so the constant-
+        # velocity model doesn't see the BA update as inter-frame motion
+        dR, dt_ = lie.se3_compose(
+            m.kf_R[ki], m.kf_t[ki], *lie.se3_inverse(self.R_cur, self.t_cur))
+        self.R_prev, self.t_prev = lie.se3_compose(dR, dt_, self.R_prev,
+                                                   self.t_prev)
         self.R_cur = m.kf_R[ki]
         self.t_cur = m.kf_t[ki]
         self.kf_features[ki] = ff

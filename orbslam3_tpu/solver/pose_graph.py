@@ -1,0 +1,128 @@
+"""Sim(3) pose-graph optimization (essential graph).
+
+Parity target: reference Optimizer::OptimizeEssentialGraph
+(src/Optimizer.cc:1848-2179) — 7-dof Sim3 vertices S_iw (world -> KF),
+edges with relative Sim3 measurements from loop closures, the spanning
+tree and strong covisibility links; identity information; after the
+solve, map points are transported by their reference KF's correction
+(done by the loop-closing pipeline, not here).
+
+TPU design: vertices batched (K, 7-dof as R/t/s); residual per edge uses
+the component-wise chart r = [Log(R_err), t_err, log(s_err)] of
+E = S_meas^-1 S_i S_j^-1 (zero iff the relative pose matches); LM with
+forward-mode AD over the stacked local deltas; one dense solve per
+iteration (7K x 7K — trivial for K <= 512).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class PoseGraphResult(NamedTuple):
+    R: jnp.ndarray  # (K,3,3) S_iw rotation
+    t: jnp.ndarray  # (K,3)
+    s: jnp.ndarray  # (K,)
+    cost: jnp.ndarray
+
+
+def _sim3_apply_delta(R, t, s, d):
+    """7-dof local update: [dphi(3), dt(3), dsigma(1)]."""
+    R2 = jnp.matmul(R, lie.exp_so3(d[..., 0:3]), precision=_HI)
+    t2 = t + d[..., 3:6]
+    s2 = s * jnp.exp(d[..., 6])
+    return R2, t2, s2
+
+
+def _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+    """r of E = S_m^-1 (S_i S_j^-1); S x = s R x + t."""
+    # S_ij = S_i ∘ S_j^-1
+    Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(Rj, tj, sj)
+    Rij, tij, sij = lie.sim3_compose(Ri, ti, si, Rj_inv, tj_inv, sj_inv)
+    # E = S_m^-1 ∘ S_ij
+    Rm_i, tm_i, sm_i = lie.sim3_inverse(Rm, tm, sm)
+    Re, te, se = lie.sim3_compose(Rm_i, tm_i, sm_i, Rij, tij, sij)
+    return jnp.concatenate([lie.log_so3(Re), te,
+                            jnp.log(jnp.maximum(se, 1e-9))[None]])
+
+
+def optimize_pose_graph(R, t, s, fixed, valid,
+                        e_i, e_j, e_R, e_t, e_s, e_valid,
+                        iterations: int = 20,
+                        lam0: float = 1e-4) -> PoseGraphResult:
+    """R/t/s: (K,...) Sim3 vertices S_iw; fixed/valid: (K,) masks;
+    e_*: (E,...) edges with measurements S_ij = S_i S_j^-1."""
+    K = R.shape[0]
+    E = e_i.shape[0]
+    free = (~fixed) & valid
+
+    def residuals(delta_flat):
+        d = delta_flat.reshape(K, 7) * free[:, None].astype(jnp.float32)
+        R2, t2, s2 = _sim3_apply_delta(R, t, s, d)
+
+        def one(k):
+            i, j = e_i[k], e_j[k]
+            r = _edge_residual(R2[i], t2[i], s2[i], R2[j], t2[j], s2[j],
+                               e_R[k], e_t[k], e_s[k])
+            return jnp.where(e_valid[k], r, jnp.zeros(7))
+
+        return jax.vmap(one)(jnp.arange(E)).reshape(-1)
+
+    x0 = jnp.zeros(K * 7, jnp.float32)
+
+    def step(carry, _):
+        Rc, tc, sc, lam, best = carry
+
+        def res(dx):
+            d = dx.reshape(K, 7) * free[:, None].astype(jnp.float32)
+            R2, t2, s2 = _sim3_apply_delta(Rc, tc, sc, d)
+
+            def one(k):
+                i, j = e_i[k], e_j[k]
+                r = _edge_residual(R2[i], t2[i], s2[i],
+                                   R2[j], t2[j], s2[j],
+                                   e_R[k], e_t[k], e_s[k])
+                return jnp.where(e_valid[k], r, jnp.zeros(7))
+
+            return jax.vmap(one)(jnp.arange(E)).reshape(-1)
+
+        r0 = res(x0)
+        J = jax.jacfwd(res)(x0)
+        H = jnp.matmul(J.T, J, precision=_HI)
+        g = -jnp.matmul(J.T, r0, precision=_HI)
+        # pin fixed vertices
+        diag_pin = jnp.repeat(1.0 - free.astype(jnp.float32), 7)
+        H = H + jnp.diag(diag_pin) + lam * jnp.eye(K * 7)
+        dx = jnp.linalg.solve(H, g)
+        R2, t2, s2 = _sim3_apply_delta(
+            Rc, tc, sc, dx.reshape(K, 7) * free[:, None].astype(jnp.float32))
+        R2 = lie.normalize_rotation(R2)
+
+        def res_at(Rn, tn, sn):
+            def one(k):
+                i, j = e_i[k], e_j[k]
+                r = _edge_residual(Rn[i], tn[i], sn[i], Rn[j], tn[j], sn[j],
+                                   e_R[k], e_t[k], e_s[k])
+                return jnp.where(e_valid[k], r, jnp.zeros(7))
+            return jax.vmap(one)(jnp.arange(E)).reshape(-1)
+
+        c_old = jnp.sum(res_at(Rc, tc, sc) ** 2)
+        c_upd = jnp.sum(res_at(R2, t2, s2) ** 2)
+        ok = c_upd < c_old
+        Rc = jnp.where(ok, R2, Rc)
+        tc = jnp.where(ok, t2, tc)
+        sc = jnp.where(ok, s2, sc)
+        lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 5.0), 1e-9, 1e9)
+        return (Rc, tc, sc, lam, jnp.minimum(c_upd, c_old)), None
+
+    (Rf, tf, sf, _, cost), _ = jax.lax.scan(
+        step, (R, t, s, jnp.asarray(lam0, jnp.float32),
+               jnp.asarray(jnp.inf, jnp.float32)), None, length=iterations)
+    return PoseGraphResult(R=Rf, t=tf, s=sf, cost=cost)

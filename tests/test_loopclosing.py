@@ -1,0 +1,218 @@
+"""Place recognition, Sim3 solver, and pose-graph optimization tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.geometry import sim3solver
+from orbslam3_tpu.ops import cameras, lie
+from orbslam3_tpu.place import keyframe_db as kdb
+from orbslam3_tpu.place import vocab
+from orbslam3_tpu.solver import pose_graph
+
+K4 = jnp.array([458.654, 457.296, 367.215, 248.375])
+
+
+def rand_desc(rng, n):
+    return jnp.asarray(rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32))
+
+
+def corrupt(desc, rng, nbits):
+    d = np.asarray(desc).copy()
+    for i in range(d.shape[0]):
+        for _ in range(nbits):
+            w = rng.integers(0, 8)
+            b = rng.integers(0, 32)
+            d[i, w] ^= np.uint32(1 << b)
+    return jnp.asarray(d)
+
+
+class TestVocab:
+    def test_word_assignment_stable_under_noise(self):
+        rng = np.random.default_rng(0)
+        cb = jnp.asarray(vocab.seed_codebook(512))
+        d = rand_desc(rng, 200)
+        w1 = vocab.assign_words(d, cb)
+        w2 = vocab.assign_words(corrupt(d, rng, 3), cb)
+        agree = float(jnp.mean((w1 == w2).astype(jnp.float32)))
+        assert agree > 0.6, agree
+
+    def test_bow_l1_normalized(self):
+        rng = np.random.default_rng(1)
+        cb = jnp.asarray(vocab.seed_codebook(512))
+        w = vocab.assign_words(rand_desc(rng, 300), cb)
+        bv = vocab.bow_vector(w, jnp.ones(300, bool), 512)
+        np.testing.assert_allclose(float(jnp.sum(bv)), 1.0, atol=1e-5)
+
+    def test_kmeans_refine_improves_quantization(self):
+        rng = np.random.default_rng(2)
+        cb = jnp.asarray(vocab.seed_codebook(64, seed=3))
+        d = rand_desc(rng, 2000)
+        from orbslam3_tpu.ops import brief
+        def qerr(c):
+            dist = brief.hamming_distance(d, c)
+            return float(jnp.mean(jnp.min(dist, axis=1)))
+        e0 = qerr(cb)
+        cb2 = vocab.kmeans_refine(cb, d, jnp.ones(2000, bool), iters=3)
+        e1 = qerr(cb2)
+        assert e1 < e0, (e0, e1)
+
+
+class TestKeyframeDB:
+    def test_query_finds_revisited_place(self):
+        rng = np.random.default_rng(3)
+        V = 512
+        cb = jnp.asarray(vocab.seed_codebook(V))
+        db = kdb.KeyframeDB.create(16, V)
+        descs = [rand_desc(rng, 150) for _ in range(8)]
+        for k, d in enumerate(descs):
+            w = vocab.assign_words(d, cb)
+            db = kdb.add(db, k, vocab.bow_vector(w, jnp.ones(150, bool), V))
+        # query = noisy copy of place 2
+        q = corrupt(descs[2], rng, 4)
+        wq = vocab.assign_words(q, cb)
+        bow = vocab.bow_vector(wq, jnp.ones(150, bool), V)
+        scores, common = kdb.query(db, bow)
+        assert int(jnp.argmax(scores)) == 2
+        # exclusion mask works
+        excl = jnp.zeros(16, bool).at[2].set(True)
+        scores2, _ = kdb.query(db, bow, exclude=excl)
+        assert int(jnp.argmax(scores2)) != 2
+
+    def test_detect_candidates_groups(self):
+        rng = np.random.default_rng(4)
+        V = 512
+        cb = jnp.asarray(vocab.seed_codebook(V))
+        db = kdb.KeyframeDB.create(8, V)
+        descs = [rand_desc(rng, 120) for _ in range(6)]
+        for k, d in enumerate(descs):
+            w = vocab.assign_words(d, cb)
+            db = kdb.add(db, k, vocab.bow_vector(w, jnp.ones(120, bool), V))
+        q = corrupt(descs[4], rng, 3)
+        wq = vocab.assign_words(q, cb)
+        bow = vocab.bow_vector(wq, jnp.ones(120, bool), V)
+        covis = jnp.zeros((8, 8), bool)
+        cand, score = kdb.detect_candidates(db, bow, jnp.zeros(8, bool),
+                                            covis)
+        assert int(cand[0]) == 4
+
+
+class TestSim3Solver:
+    def test_recovers_known_sim3(self):
+        key = jax.random.PRNGKey(0)
+        n = 80
+        # map-1 world points in front of KF1 at origin
+        X1 = jax.random.normal(key, (n, 3)) * jnp.array([1.5, 1.0, 0.8]) + \
+            jnp.array([0.0, 0.0, 5.0])
+        R1, t1 = jnp.eye(3), jnp.zeros(3)
+        # map 2 = sim3-warped copy of map 1 (drifted duplicate)
+        Rg = lie.exp_so3(jnp.array([0.05, -0.3, 0.1]))
+        sg = jnp.asarray(1.4)
+        tg = jnp.array([2.0, -1.0, 0.5])
+        X2 = lie.sim3_apply(Rg, tg, sg, X1)
+        # KF2 observes map-2 points from the warped camera
+        uv1 = cameras.pinhole_project(K4, lie.se3_apply(R1, t1, X1))
+        uv2 = uv1  # camera 2 sees identical pixels by construction
+        Rcw2 = Rg.T
+        tcw2 = -Rg.T @ tg
+        # P2 = Rg^T (X2 - tg) = s * X1 — a scaled camera frame with the
+        # SAME pixels (projective), so uv2 == uv1; the Sim3 between camera
+        # frames is then (I, 0, 1/s).
+        valid = jnp.ones(n, bool)
+        res = sim3solver.solve_sim3(
+            X1, X2, valid, uv1, uv2, R1, t1, Rcw2, tcw2,
+            "pinhole", K4, jax.random.PRNGKey(1))
+        assert bool(res.success), int(res.n_inliers)
+        # check alignment: P1 = s R P2_cam + t with P2_cam = s * X1...
+        P2cam = lie.se3_apply(Rcw2, tcw2, X2)
+        P1cam = lie.se3_apply(R1, t1, X1)
+        err = P1cam - (res.s12 * P2cam @ res.R12.T + res.t12)
+        assert float(jnp.max(jnp.linalg.norm(err, axis=-1))) < 1e-3
+        np.testing.assert_allclose(float(res.s12), 1.0 / float(sg), atol=0.01)
+
+    def test_outliers_rejected(self):
+        key = jax.random.PRNGKey(2)
+        n = 60
+        X1 = jax.random.normal(key, (n, 3)) + jnp.array([0.0, 0.0, 6.0])
+        X2 = X1 * 1.2 + jnp.array([0.5, 0.0, 0.0])
+        X2 = X2.at[:12].add(jax.random.normal(jax.random.PRNGKey(3),
+                                              (12, 3)) * 3.0)
+        R0, t0 = jnp.eye(3), jnp.zeros(3)
+        uv1 = cameras.pinhole_project(K4, X1)
+        uv2 = cameras.pinhole_project(K4, X2)
+        res = sim3solver.solve_sim3(
+            X1, X2, jnp.ones(n, bool), uv1, uv2, R0, t0, R0, t0,
+            "pinhole", K4, jax.random.PRNGKey(4))
+        assert bool(res.success)
+        inl = np.asarray(res.inliers)
+        assert inl[:12].mean() < 0.3
+        assert inl[12:].mean() > 0.8
+
+
+class TestPoseGraph:
+    def test_loop_correction_distributes_drift(self):
+        """Chain of KFs with accumulated drift; a loop edge back to KF0
+        pulls the chain closed and the optimizer distributes the error."""
+        K = 12
+        # ground truth: circle
+        angles = np.linspace(0, 2 * np.pi, K, endpoint=False)
+        gt_t = np.stack([np.cos(angles), np.sin(angles),
+                         np.zeros(K)], 1) * 3.0
+        gt_R = np.stack([np.asarray(lie.exp_so3(
+            jnp.array([0.0, 0.0, a]))) for a in angles])
+        # odometry measurements (exact relative poses S_ij = S_i S_j^-1)
+        # vertices = world->kf: S_iw = inverse of (R_wi, t_wi)
+        Rv, tv = [], []
+        for k in range(K):
+            Rcw = gt_R[k].T
+            tcw = -Rcw @ gt_t[k]
+            Rv.append(Rcw)
+            tv.append(tcw)
+        Rv = jnp.asarray(np.stack(Rv), jnp.float32)
+        tv = jnp.asarray(np.stack(tv), jnp.float32)
+        sv = jnp.ones(K)
+        # drifted initial estimate: growing scale + translation drift
+        drift_s = 1.15
+        Rd, td, sd = [Rv[0]], [tv[0]], [1.0]
+        for k in range(1, K):
+            # relative truth j->i composed with drift
+            Ri, ti, si = Rv[k], tv[k], 1.0
+            td.append(ti + jnp.asarray([0.03 * k, -0.02 * k, 0.0]))
+            Rd.append(Ri)
+            sd.append(drift_s ** (k / (K - 1)))
+        Rd = jnp.stack(Rd)
+        td = jnp.stack(td)
+        sd = jnp.asarray(sd, jnp.float32)
+
+        # edges: consecutive (true relatives) + loop edge (K-1 -> 0 true)
+        ei, ej, eR, et, es = [], [], [], [], []
+        for k in range(K - 1):
+            i, j = k + 1, k
+            Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(Rv[j], tv[j],
+                                                      jnp.asarray(1.0))
+            Rm, tm, sm = lie.sim3_compose(Rv[i], tv[i], jnp.asarray(1.0),
+                                          Rj_inv, tj_inv, sj_inv)
+            ei.append(i); ej.append(j); eR.append(Rm); et.append(tm)
+            es.append(sm)
+        # loop edge 0 <-> K-1
+        i, j = 0, K - 1
+        Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(Rv[j], tv[j],
+                                                  jnp.asarray(1.0))
+        Rm, tm, sm = lie.sim3_compose(Rv[i], tv[i], jnp.asarray(1.0),
+                                      Rj_inv, tj_inv, sj_inv)
+        ei.append(i); ej.append(j); eR.append(Rm); et.append(tm); es.append(sm)
+
+        res = pose_graph.optimize_pose_graph(
+            Rd, td, sd,
+            fixed=jnp.zeros(K, bool).at[0].set(True),
+            valid=jnp.ones(K, bool),
+            e_i=jnp.asarray(ei), e_j=jnp.asarray(ej),
+            e_R=jnp.stack(eR), e_t=jnp.stack(et), e_s=jnp.stack(es),
+            e_valid=jnp.ones(len(ei), bool), iterations=25)
+        # recovered camera centers
+        centers = -jnp.einsum("kij,kj->k i", jnp.swapaxes(res.R, 1, 2) * 0
+                              + jnp.swapaxes(res.R, 1, 2), res.t) / \
+            res.s[:, None]
+        err = float(jnp.max(jnp.linalg.norm(centers - jnp.asarray(gt_t),
+                                            axis=-1)))
+        assert err < 0.05, err
+        np.testing.assert_allclose(np.asarray(res.s), 1.0, atol=0.02)
