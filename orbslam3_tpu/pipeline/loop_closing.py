@@ -1,0 +1,244 @@
+"""Loop closing: detection, Sim3 computation, loop correction.
+
+Parity target: upstream ORB-SLAM3 LoopClosing (deleted in the fork —
+SURVEY §0 fork-delta 2 — but required by the build's north star):
+  * candidate detection through the keyframe database with covisibility
+    exclusion and temporal consistency (reference KeyFrameDatabase::
+    DetectNBestCandidates, src/KeyFrameDatabase.cc:602; LoopClosing::
+    DetectLoop consistency check, upstream);
+  * Sim3 computation between the current KF and the loop KF from matched
+    map points (reference Sim3Solver; ComputeSim3);
+  * loop correction: essential-graph Sim3 optimization over all KFs with
+    the loop edge, then map-point transport by each point's reference
+    KF correction (reference LoopClosing::CorrectLoop +
+    Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:1848).
+
+TPU design: detection is one TF-IDF matvec; Sim3 RANSAC is fully batched;
+the pose graph solves densely on-device.  The host only sequences stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import sim3solver
+from ..ops import lie, matching
+from ..place import keyframe_db as kdb
+from ..place import vocab as vocab_mod
+from ..slam_map import state as mapstate
+from ..solver import pose_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    n_words: int = 2048
+    min_common_words: int = 5
+    consistency_needed: int = 3     # consecutive consistent detections
+    min_sim3_matches: int = 20
+    min_sim3_inliers: int = 20
+    min_kf_gap: int = 12            # candidate must be this many KFs old
+    pose_graph_iters: int = 20
+
+
+class LoopCloser:
+    """Host-side loop-closing module attached to a System."""
+
+    def __init__(self, cfg: LoopConfig, n_kf_capacity: int):
+        self.cfg = cfg
+        self.codebook = jnp.asarray(vocab_mod.seed_codebook(cfg.n_words))
+        self.db = kdb.KeyframeDB.create(n_kf_capacity, cfg.n_words)
+        self.consistent_count = 0
+        self.last_candidate = -1
+        self.n_loops_closed = 0
+        self._build_jits()
+
+    def _build_jits(self):
+        cb = self.codebook
+        V = self.cfg.n_words
+
+        @jax.jit
+        def _bow(desc, valid):
+            w = vocab_mod.assign_words(desc, cb)
+            return vocab_mod.bow_vector(w, valid, V), w
+
+        @jax.jit
+        def _covis_row(m, kf_idx):
+            return mapstate.covisibility_weights(m, kf_idx)
+
+        self._bow = _bow
+        self._covis_row = _covis_row
+
+    # ------------------------------------------------------------- keyframe
+    def add_keyframe(self, m: mapstate.MapState, kf_idx: int, ff) -> None:
+        bow, _ = self._bow(ff.desc, ff.valid)
+        self.db = kdb.add(self.db, kf_idx, bow)
+
+    # ------------------------------------------------------------ detection
+    def detect(self, m: mapstate.MapState, kf_idx: int, ff) -> int:
+        """Returns loop-candidate KF index or -1."""
+        bow, _ = self._bow(ff.desc, ff.valid)
+        covis = self._covis_row(m, jnp.asarray(kf_idx, jnp.int32))
+        K = m.kf_R.shape[0]
+        exclude = (covis > 0) | \
+            (jnp.arange(K) > kf_idx - self.cfg.min_kf_gap)
+        scores, common = kdb.query(self.db, bow, exclude=exclude,
+                                  min_common_words=self.cfg.min_common_words)
+        cand = int(jnp.argmax(scores))
+        if float(scores[cand]) <= 0:
+            self.consistent_count = 0
+            self.last_candidate = -1
+            return -1
+        # temporal consistency: same (or covisible-adjacent) candidate for
+        # several consecutive keyframes (reference consistency groups)
+        if self.last_candidate >= 0 and abs(cand - self.last_candidate) <= 3:
+            self.consistent_count += 1
+        else:
+            self.consistent_count = 1
+        self.last_candidate = cand
+        if self.consistent_count >= self.cfg.consistency_needed:
+            return cand
+        return -1
+
+    # ------------------------------------------------------------- closure
+    def try_close(self, system, ff, kf_idx: int) -> bool:
+        """Full loop attempt for the just-inserted KF.  Mutates system.map
+        on success.  Returns True if a loop was closed."""
+        m = system.map
+        cand = self.detect(m, kf_idx, ff)
+        self.add_keyframe(m, kf_idx, ff)
+        if cand < 0:
+            return False
+
+        # ---- 3D-3D correspondences: cur KF's matched map points vs the
+        # candidate KF's map points, via descriptor matching
+        cur_kp_pt = system.kf_bindings.get(kf_idx)
+        cand_ff = system.kf_features.get(cand)
+        cand_kp_pt = system.kf_bindings.get(cand)
+        if cur_kp_pt is None or cand_ff is None or cand_kp_pt is None:
+            return False
+        mm = matching.match_nn(
+            ff.desc, cand_ff.desc,
+            mask=(cur_kp_pt >= 0)[:, None] & (cand_kp_pt >= 0)[None, :] &
+                 ff.valid[:, None] & cand_ff.valid[None, :],
+            max_dist=matching.TH_LOW, nn_ratio=0.75,
+            angles_a=ff.angle, angles_b=cand_ff.angle, check_rotation=True)
+        n_matches = int(jnp.sum(mm.valid))
+        if n_matches < self.cfg.min_sim3_matches:
+            return False
+
+        P = m.pt_xyz.shape[0]
+        j = jnp.maximum(mm.idx, 0)
+        pt_cur = jnp.clip(cur_kp_pt, 0, P - 1)
+        pt_cand = jnp.clip(cand_kp_pt[j], 0, P - 1)
+        X_cur = m.pt_xyz[pt_cur]
+        X_cand = m.pt_xyz[pt_cand]
+        res = sim3solver.solve_sim3(
+            X_cand, X_cur, mm.valid,
+            cand_ff.xy[j],  # uv of each match in the candidate KF
+            ff.xy,
+            m.kf_R[cand], m.kf_t[cand], m.kf_R[kf_idx], m.kf_t[kf_idx],
+            system.cfg.cam_model, system.cam_params,
+            jax.random.PRNGKey(kf_idx),
+            min_inliers=self.cfg.min_sim3_inliers)
+        if not bool(res.success):
+            return False
+
+        # solve_sim3(X_cand, X_cur) maps cur-camera coords INTO the loop
+        # KF's camera; the correction pipeline wants loop -> cur: invert.
+        R_lc, t_lc, s_lc = lie.sim3_inverse(res.R12, res.t12, res.s12)
+        res = res._replace(R12=R_lc, t12=t_lc, s12=s_lc)
+        self._correct_loop(system, kf_idx, cand, res)
+        self.n_loops_closed += 1
+        self.consistent_count = 0
+        self.last_candidate = -1
+        return True
+
+    # ------------------------------------------------------------ correction
+    def _correct_loop(self, system, kf_cur: int, kf_loop: int,
+                      sim3: sim3solver.Sim3Result):
+        """Essential-graph optimization + point transport."""
+        m = system.map
+        K = m.kf_R.shape[0]
+        nk = int(m.n_kf)
+
+        # vertices: S_iw = current camera poses with s=1
+        Rv, tv = m.kf_R, m.kf_t
+        sv = jnp.ones(K)
+
+        # edges: temporal chain with current relative poses (drift-free
+        # odometry belief) + the measured loop edge cur <-> loop.
+        ei, ej = [], []
+        eR, et, es = [], [], []
+        Rn = np.asarray(Rv)
+        tn = np.asarray(tv)
+        for k in range(1, nk):
+            i, jdx = k, k - 1
+            Ri = jnp.asarray(Rn[i])
+            ti = jnp.asarray(tn[i])
+            Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(
+                jnp.asarray(Rn[jdx]), jnp.asarray(tn[jdx]), jnp.asarray(1.0))
+            Rm, tm, sm = lie.sim3_compose(Ri, ti, jnp.asarray(1.0),
+                                          Rj_inv, tj_inv, sj_inv)
+            ei.append(i); ej.append(jdx)
+            eR.append(Rm); et.append(tm); es.append(sm)
+        # loop edge: measured S_cur_loop — sim3 maps loop-KF camera coords
+        # into cur-KF camera coords: x_cur = s R x_loop + t, so
+        # S_cur_w = S_measured ∘ S_loop_w  =>  edge (cur, loop) with
+        # measurement S_cl = S_cur S_loop^-1 = sim3 measured.
+        ei.append(kf_cur); ej.append(kf_loop)
+        eR.append(sim3.R12); et.append(sim3.t12)
+        es.append(sim3.s12)
+        # loop edge weighted above odometry (the reference instead seeds
+        # the corrected-KF vertices at the measured Sim3 AND has many
+        # covisibility edges on the old side; the weight plays that role)
+        weights = jnp.ones(len(ei), jnp.float32).at[len(ei) - 1].set(30.0)
+
+        # pre-correct the current KF vertex: S_cur := S_meas ∘ S_loop
+        # (reference CorrectLoop rigidly corrects the current window first)
+        Rcorr, tcorr, scorr = lie.sim3_compose(
+            sim3.R12, sim3.t12, sim3.s12,
+            Rv[kf_loop], tv[kf_loop], jnp.asarray(1.0))
+        Rv = Rv.at[kf_cur].set(Rcorr)
+        tv = tv.at[kf_cur].set(tcorr)
+        sv = sv.at[kf_cur].set(scorr)
+
+        fixed = jnp.zeros(K, bool).at[kf_loop].set(True).at[0].set(True)
+        res = pose_graph.optimize_pose_graph(
+            Rv, tv, sv, fixed=fixed,
+            valid=m.kf_valid,
+            e_i=jnp.asarray(ei, jnp.int32), e_j=jnp.asarray(ej, jnp.int32),
+            e_R=jnp.stack(eR), e_t=jnp.stack(et),
+            e_s=jnp.asarray(es, jnp.float32),
+            e_valid=jnp.ones(len(ei), bool),
+            e_weight=weights,
+            iterations=self.cfg.pose_graph_iters)
+
+        # transport points by their reference KF's correction:
+        # X' = S_new_i^-1 ( S_old_i (X) )   (reference CorrectLoop)
+        ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+        R_old, t_old = m.kf_R[ref], m.kf_t[ref]
+        Xc = lie.se3_apply(R_old, t_old, m.pt_xyz)      # old camera coords
+        R_new, t_new, s_new = res.R[ref], res.t[ref], res.s[ref]
+        # invert sim3 per point ref
+        Rn_i, tn_i, sn_i = lie.sim3_inverse(R_new, t_new, s_new)
+        X_new = lie.sim3_apply(Rn_i, tn_i, sn_i, Xc)
+        pt_scale = 1.0 / jnp.maximum(s_new, 1e-9)
+
+        # write back: poses become SE3 with translation t/s (standard
+        # Sim3 -> SE3 conversion: [R, t/s])
+        system.map = m._replace(
+            kf_R=res.R,
+            kf_t=res.t / jnp.maximum(res.s, 1e-9)[:, None],
+            pt_xyz=X_new,
+            pt_min_dist=m.pt_min_dist * pt_scale,
+            pt_max_dist=m.pt_max_dist * pt_scale)
+        # tracker state refresh
+        system.R_cur = system.map.kf_R[kf_cur]
+        system.t_cur = system.map.kf_t[kf_cur]
+        system.R_prev, system.t_prev = system.R_cur, system.t_cur
+        system.has_velocity = False

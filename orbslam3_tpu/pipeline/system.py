@@ -60,6 +60,7 @@ class SlamConfig:
     local_ba_window: int = 8
     local_ba_iters: int = 10
     ba_caps: tuple = (32, 6144, 24576)  # cams, pts, obs for local BA
+    enable_loop_closing: bool = False
 
 
 class System:
@@ -87,6 +88,11 @@ class System:
         self.inliers_at_last_kf = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_resets = 0
+        self.loop_closer = None
+        if config.enable_loop_closing:
+            from . import loop_closing
+            self.loop_closer = loop_closing.LoopCloser(
+                loop_closing.LoopConfig(), config.map_capacity.n_kf)
         self._build_jits()
 
     # ------------------------------------------------------------------ jit
@@ -343,6 +349,8 @@ class System:
         self.last_kf_idx = ki
         self.last_kf_id = self.frame_id
         self.inliers_at_last_kf = int(tr.n_inliers)
+        if self.loop_closer is not None:
+            self.loop_closer.try_close(self, ff, ki)
 
     # ---------------------------------------------------------------- reset
     def _reset(self):

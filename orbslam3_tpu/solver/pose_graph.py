@@ -55,13 +55,18 @@ def _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
 
 def optimize_pose_graph(R, t, s, fixed, valid,
                         e_i, e_j, e_R, e_t, e_s, e_valid,
+                        e_weight=None,
                         iterations: int = 20,
                         lam0: float = 1e-4) -> PoseGraphResult:
     """R/t/s: (K,...) Sim3 vertices S_iw; fixed/valid: (K,) masks;
-    e_*: (E,...) edges with measurements S_ij = S_i S_j^-1."""
+    e_*: (E,...) edges with measurements S_ij = S_i S_j^-1;
+    e_weight: optional (E,) sqrt-information scalars (loop edges are
+    typically weighted above odometry edges)."""
     K = R.shape[0]
     E = e_i.shape[0]
     free = (~fixed) & valid
+    if e_weight is None:
+        e_weight = jnp.ones(E, jnp.float32)
 
     def residuals(delta_flat):
         d = delta_flat.reshape(K, 7) * free[:, None].astype(jnp.float32)
@@ -88,7 +93,7 @@ def optimize_pose_graph(R, t, s, fixed, valid,
                 i, j = e_i[k], e_j[k]
                 r = _edge_residual(R2[i], t2[i], s2[i],
                                    R2[j], t2[j], s2[j],
-                                   e_R[k], e_t[k], e_s[k])
+                                   e_R[k], e_t[k], e_s[k]) * e_weight[k]
                 return jnp.where(e_valid[k], r, jnp.zeros(7))
 
             return jax.vmap(one)(jnp.arange(E)).reshape(-1)
@@ -109,7 +114,7 @@ def optimize_pose_graph(R, t, s, fixed, valid,
             def one(k):
                 i, j = e_i[k], e_j[k]
                 r = _edge_residual(Rn[i], tn[i], sn[i], Rn[j], tn[j], sn[j],
-                                   e_R[k], e_t[k], e_s[k])
+                                   e_R[k], e_t[k], e_s[k]) * e_weight[k]
                 return jnp.where(e_valid[k], r, jnp.zeros(7))
             return jax.vmap(one)(jnp.arange(E)).reshape(-1)
 
