@@ -34,6 +34,7 @@ from ..features import extractor
 from ..features.extractor import FeatureFrame, OrbParams
 from ..geometry import twoview
 from ..ops import lie, matching
+from ..slam_map import atlas as atlas_mod
 from ..slam_map import state as mapstate
 from . import mapping, tracking
 
@@ -61,6 +62,7 @@ class SlamConfig:
     local_ba_iters: int = 10
     ba_caps: tuple = (32, 6144, 24576)  # cams, pts, obs for local BA
     enable_loop_closing: bool = False
+    reloc_patience: int = 10   # frames in RECENTLY_LOST before map reset
 
 
 class System:
@@ -93,6 +95,8 @@ class System:
             from . import loop_closing
             self.loop_closer = loop_closing.LoopCloser(
                 loop_closing.LoopConfig(), config.map_capacity.n_kf)
+        self.atlas = atlas_mod.Atlas(config.map_capacity)
+        self.lost_frames = 0
         self._build_jits()
 
     # ------------------------------------------------------------------ jit
@@ -193,7 +197,7 @@ class System:
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self._initialize(ff, ts)
-        elif self.state == OK:
+        elif self.state in (OK, RECENTLY_LOST):
             self._track_frame(ff, ts)
 
         if self.state == OK:
@@ -308,8 +312,11 @@ class System:
                                    jnp.asarray(radius, jnp.float32))
         n_inl = int(tr.n_inliers)
         if n_inl < cfg.min_track_inliers:
+            if self._handle_tracking_loss(ff):
+                return
             self._reset()
             return
+        self.lost_frames = 0
         self.R_prev, self.t_prev = self.R_cur, self.t_cur
         self.R_cur, self.t_cur = tr.R, tr.t
         self.has_velocity = True
@@ -352,14 +359,43 @@ class System:
         if self.loop_closer is not None:
             self.loop_closer.try_close(self, ff, ki)
 
+    # ----------------------------------------------------- loss / reloc
+    def _handle_tracking_loss(self, ff) -> bool:
+        """RECENTLY_LOST handling: attempt relocalization against the
+        keyframe database (upstream Tracking::Relocalization — the fork
+        resets instead; we support both, reset after reloc_patience).
+        Returns True if the frame was recovered or patience remains."""
+        if self.loop_closer is not None:
+            from . import relocalization
+            ok, R, t = relocalization.attempt_relocalization(
+                self, ff, self.loop_closer)
+            if ok:
+                self.R_cur, self.t_cur = R, t
+                self.R_prev, self.t_prev = R, t
+                self.has_velocity = False
+                self.lost_frames = 0
+                self.state = OK
+                return True
+        self.lost_frames += 1
+        if self.lost_frames <= self.cfg.reloc_patience:
+            self.state = RECENTLY_LOST
+            self.has_velocity = False
+            return True
+        return False
+
     # ---------------------------------------------------------------- reset
     def _reset(self):
-        """LOST -> reset map (reference src/Tracking.cc:543-544,1330)."""
+        """LOST -> archive the map in the Atlas and start a fresh one
+        (reference src/Tracking.cc:543-544, CreateMapInAtlas :771-805 —
+        the old map is kept, a new one becomes current)."""
         self.n_resets += 1
+        self.atlas.store_session(self.map, self.kf_features,
+                                 self.kf_bindings, self.trajectory)
         self.state = NO_IMAGES_YET
         self.map = mapstate.empty_map(self.cfg.map_capacity)
         self.ref_ff = None
         self.has_velocity = False
+        self.lost_frames = 0
         self.kf_features.clear()
         self.kf_bindings.clear()
 
