@@ -112,7 +112,10 @@ def _extract_level(img_lv, img_blur_lv, budget: int, cand_cap: int,
 
 
 def extract(img: jnp.ndarray, p: OrbParams) -> FeatureFrame:
-    """img: (H, W) f32 grayscale 0..255.  Jit-able; one trace per (H, W)."""
+    """img: (H, W) grayscale 0..255, u8 or f32.  Jit-able; one trace per
+    (H, W).  Feed uint8 from the host — it is 4x cheaper to transfer and
+    is cast on device."""
+    img = img.astype(jnp.float32)
     pyr, blurred = image.build_pyramid(img, p.n_levels, p.scale_factor)
     budgets = p.features_per_level()
     sf = p.scale_factors()

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import cameras, lie
+from ..ops import cameras, lie, smallsolve
 from . import robust
 
 _HI = jax.lax.Precision.HIGHEST
@@ -73,7 +73,9 @@ def pose_optimization(R0, t0, X, uv, inv_sigma2, valid,
             H = jnp.einsum("nik,n,nil->kl", J, w, J, precision=_HI)
             b = -jnp.einsum("nik,n,ni->k", J, w, e, precision=_HI)
             H = H + jnp.eye(6) * 1e-6
-            dx = jnp.linalg.solve(H, b)
+            # unrolled Cholesky keeps the whole GN iteration fusable
+            # (jnp.linalg.solve would add LU-kernel latency x40 iterations)
+            dx = smallsolve.solve_psd(H, b)
             dR, dt = lie.se3_exp(dx)
             R2, t2 = lie.se3_compose(dR, dt, R, t)
             return lie.normalize_rotation(R2), t2

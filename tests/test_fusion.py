@@ -1,0 +1,112 @@
+"""Fusion / KF culling tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.ops import cameras
+from orbslam3_tpu.pipeline import fusion
+from orbslam3_tpu.slam_map import state as mapstate
+from test_loop_integration import K4, K4j, N_KP, make_ff, pad_binding
+
+
+def base_map(cap=None):
+    cap = cap or mapstate.MapCapacity(n_kf=8, n_pt=512, n_obs=4096)
+    return mapstate.empty_map(cap)
+
+
+class TestFuse:
+    def test_binds_unmatched_keypoints(self):
+        rng = np.random.default_rng(0)
+        n = 50
+        X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(4, 8, n)], 1).astype(np.float32)
+        desc = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+        m = base_map()
+        m, k0 = mapstate.add_keyframe(m, jnp.eye(3), jnp.zeros(3), 0.0, 0)
+        d = jnp.linalg.norm(jnp.asarray(X), axis=1)
+        m, pts = mapstate.add_points(
+            m, jnp.asarray(X), jnp.asarray(desc), jnp.zeros((n, 3)),
+            d / 3.6, d, 0, 0, jnp.ones(n, bool))
+        uv = np.asarray(cameras.pinhole_project(K4j, jnp.asarray(X)))
+        ff = make_ff(uv, desc)
+        kp_pt = jnp.full(N_KP, -1, jnp.int32)   # keyframe has NO bindings
+        m2, kp_pt2, n_fused = fusion.fuse_into_keyframe(
+            m, 0, ff, kp_pt, "pinhole", K4j, (480, 752))
+        bound = int(jnp.sum(kp_pt2 >= 0))
+        assert bound >= n * 0.9, bound
+
+    def test_merges_duplicates_keeping_more_observed(self):
+        rng = np.random.default_rng(1)
+        X = np.array([[0.0, 0.0, 5.0]], np.float32)
+        desc = rng.integers(0, 2 ** 32, (1, 8), dtype=np.uint32)
+        m = base_map()
+        m, k0 = mapstate.add_keyframe(m, jnp.eye(3), jnp.zeros(3), 0.0, 0)
+        # original point with 3 observations (more established)
+        m, p_orig = mapstate.add_points(
+            m, jnp.asarray(X), jnp.asarray(desc), jnp.zeros((1, 3)),
+            jnp.full(1, 5 / 3.6), jnp.full(1, 5.0), 0, 0,
+            jnp.ones(1, bool))
+        for kf in range(3):
+            if kf > 0:
+                m, _ = mapstate.add_keyframe(m, jnp.eye(3),
+                                             jnp.zeros(3), float(kf), kf)
+            m = mapstate.add_observations(
+                m, kf, p_orig, jnp.zeros((1, 2)), jnp.zeros(1, jnp.int32),
+                jnp.ones(1, bool))
+        # duplicate point (1 observation), bound to the target keyframe
+        m, p_dup = mapstate.add_points(
+            m, jnp.asarray(X + 0.01), jnp.asarray(desc), jnp.zeros((1, 3)),
+            jnp.full(1, 5 / 3.6), jnp.full(1, 5.0), 0, 5,
+            jnp.ones(1, bool))
+        uv = np.asarray(cameras.pinhole_project(K4j, jnp.asarray(X)))
+        ff = make_ff(uv, desc)
+        kp_pt = pad_binding(p_dup[:1])  # KF0's keypoint bound to duplicate
+        m2, kp_pt2, n_fused = fusion.fuse_into_keyframe(
+            m, 0, ff, kp_pt, "pinhole", K4j, (480, 752))
+        assert int(n_fused) == 1
+        # duplicate died, original survived and is now bound
+        assert not bool(m2.pt_valid[p_dup[0]])
+        assert bool(m2.pt_valid[p_orig[0]])
+        assert int(kp_pt2[0]) == int(p_orig[0])
+
+
+class TestKFCulling:
+    def test_redundant_kf_detected_and_culled(self):
+        rng = np.random.default_rng(2)
+        n = 40
+        X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(4, 8, n)], 1).astype(np.float32)
+        m = base_map()
+        # 5 KFs all observing the same points
+        for kf in range(5):
+            m, _ = mapstate.add_keyframe(m, jnp.eye(3),
+                                         jnp.asarray([0.1 * kf, 0, 0]),
+                                         float(kf), kf)
+        m, pts = mapstate.add_points(
+            m, jnp.asarray(X), jnp.zeros((n, 8), jnp.uint32),
+            jnp.zeros((n, 3)), jnp.ones(n), jnp.full(n, 20.0), 0, 0,
+            jnp.ones(n, bool))
+        for kf in range(5):
+            m = mapstate.add_observations(
+                m, kf, pts, jnp.zeros((n, 2)), jnp.zeros(n, jnp.int32),
+                jnp.ones(n, bool))
+        red, frac = fusion.keyframe_redundancy(m, 2)
+        assert bool(red) and float(frac) == 1.0
+        m2 = fusion.cull_keyframe(m, 2)
+        assert not bool(m2.kf_valid[2])
+        # observations of KF2 dropped; other KFs unaffected
+        assert int(jnp.sum(m2.obs_valid)) == 4 * n
+
+    def test_unique_view_not_redundant(self):
+        n = 20
+        m = base_map()
+        m, _ = mapstate.add_keyframe(m, jnp.eye(3), jnp.zeros(3), 0.0, 0)
+        m, pts = mapstate.add_points(
+            m, jnp.zeros((n, 3)), jnp.zeros((n, 8), jnp.uint32),
+            jnp.zeros((n, 3)), jnp.ones(n), jnp.full(n, 20.0), 0, 0,
+            jnp.ones(n, bool))
+        m = mapstate.add_observations(
+            m, 0, pts, jnp.zeros((n, 2)), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool))
+        red, frac = fusion.keyframe_redundancy(m, 0)
+        assert not bool(red)
