@@ -62,12 +62,15 @@ def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
         return out.at[dst].set(jnp.where(
             keep.reshape((-1,) + (1,) * (arr.ndim - 1)), arr[order], out[dst]))
 
-    return prob._replace(
+    out = prob._replace(
         obs_cam=scatter(prob.obs_cam, 0),
         obs_pt=scatter(prob.obs_pt, 0),
         obs_uv=scatter(prob.obs_uv, 0.0),
         obs_inv_sigma2=scatter(prob.obs_inv_sigma2, 1.0),
         obs_valid=scatter(prob.obs_valid, False))
+    if prob.obs_ur is not None:
+        out = out._replace(obs_ur=scatter(prob.obs_ur, -1.0))
+    return out
 
 
 def _shard_normal_eq(prob_shard: BAProblem, R, t, X_shard, pt_base,

@@ -219,7 +219,8 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
         X=m.pt_xyz[pt_sel], pt_valid=pt_sel_valid & m.pt_valid[pt_sel],
         obs_cam=jnp.maximum(o_kf, 0), obs_pt=jnp.maximum(o_pt, 0),
         obs_uv=m.obs_uv[obs_sel], obs_inv_sigma2=inv_sigma2,
-        obs_valid=obs_sel_valid & (o_kf >= 0) & (o_pt >= 0))
+        obs_valid=obs_sel_valid & (o_kf >= 0) & (o_pt >= 0),
+        obs_ur=m.obs_ur[obs_sel])
     return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
 
 
@@ -228,6 +229,7 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                  window: int = 8, iterations: int = 10,
                  scale_factor: float = 1.2, n_levels: int = 8,
                  chi2_cull: float = 7.5,
+                 stereo_bf: float = 0.0,
                  **caps):
     """Local BA on a temporal keyframe window + outlier observation culling
     (reference LocalBundleAdjustment, 10 its, then removes chi2>5.991
@@ -236,7 +238,7 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
     prob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_problem(
         m, center_kf, window, n_levels, scale_factor, **caps)
     res = ba.bundle_adjust(prob, cam_model, cam_params,
-                           iterations=iterations)
+                           iterations=iterations, stereo_bf=stereo_bf)
     # scatter back optimized cameras/points
     K = m.kf_R.shape[0]
     P = m.pt_xyz.shape[0]

@@ -1,0 +1,137 @@
+"""Stereo SLAM system: instant metric initialization and depth-based
+point creation on top of the monocular pipeline.
+
+Parity targets (upstream stereo path, dead code in the fork):
+  * Tracking::StereoInitialization — the first frame with enough stereo
+    depths creates the map directly (metric scale, no two-view RANSAC);
+  * CreateNewKeyFrame stereo point insertion — keypoints with valid depth
+    that are not yet map points become points immediately (close points
+    first, reference inserts up to 100 beyond the tracked ones);
+  * stereo observations carry (u, v, uR); bundle adjustment adds the
+    third stereo residual row (solver/ba.py stereo_bf), continuously
+    anchoring the metric scale like the reference's EdgeStereo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..features import stereo as stereo_mod
+from ..features.extractor import FeatureFrame
+from ..ops import lie
+from ..slam_map import state as mapstate
+from . import mapping, system as base
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    baseline: float = 0.11          # EuRoC cam0-cam1 baseline [m]
+    min_init_depth_points: int = 100
+    max_depth_factor: float = 35.0  # x baseline: "close point" horizon
+
+
+class StereoSystem(base.System):
+    def __init__(self, config: base.SlamConfig, scfg: StereoConfig):
+        super().__init__(config)
+        self.scfg = scfg
+        fx = float(config.cam_params[0])
+        self._stereo_jit = jax.jit(lambda fl, fr: stereo_mod.stereo_match(
+            fl, fr, fx, scfg.baseline,
+            max_depth=scfg.max_depth_factor * scfg.baseline * 3))
+
+    # ------------------------------------------------------------------ api
+    def track_stereo(self, img_l, img_r, ts: float,
+                     features_l: FeatureFrame | None = None,
+                     features_r: FeatureFrame | None = None):
+        ff_l = features_l if features_l is not None else self._extract(img_l)
+        ff_r = features_r if features_r is not None else self._extract(img_r)
+        self._depth = self._stereo_jit(ff_l, ff_r)
+        self.frame_id += 1
+
+        if self.state in (base.NO_IMAGES_YET, base.NOT_INITIALIZED):
+            self._stereo_initialize(ff_l, ts)
+        elif self.state in (base.OK, base.RECENTLY_LOST):
+            self._track_frame(ff_l, ts)
+
+        if self.state == base.OK:
+            Rwc = np.asarray(self.R_cur).T
+            twc = -Rwc @ np.asarray(self.t_cur)
+            self.trajectory.append((ts, Rwc, twc))
+            return self.state, (Rwc, twc)
+        return self.state, None
+
+    # ----------------------------------------------------------------- init
+    def _stereo_initialize(self, ff: FeatureFrame, ts: float):
+        d = self._depth
+        n_ok = int(jnp.sum(d.valid & ff.valid))
+        if n_ok < self.scfg.min_init_depth_points:
+            return
+        m = mapstate.empty_map(self.cfg.map_capacity)
+        m, k0 = mapstate.add_keyframe(m, jnp.eye(3), jnp.zeros(3), ts,
+                                      self.frame_id)
+        # unproject with depth
+        cam = self.cam_params
+        rays = jnp.concatenate(
+            [(ff.xy - cam[2:4]) / cam[0:2],
+             jnp.ones((ff.xy.shape[0], 1))], axis=1)
+        X = rays * d.depth[:, None]
+        ok = d.valid & ff.valid
+        dist = jnp.linalg.norm(X, axis=1)
+        sf = self.cfg.orb.scale_factor ** ff.octave.astype(jnp.float32)
+        m, pt_idx = mapstate.add_points(
+            m, X, ff.desc, X / jnp.maximum(dist, 1e-9)[:, None],
+            dist * sf / (self.cfg.orb.scale_factor **
+                         (self.cfg.orb.n_levels - 1)),
+            dist * sf, 0, self.frame_id, ok)
+        m = mapstate.add_observations(m, k0, pt_idx, ff.xy, ff.octave, ok,
+                                      ur=jnp.where(d.valid, d.ur, -1.0))
+        self.map = m
+        self.R_cur = jnp.eye(3)
+        self.t_cur = jnp.zeros(3)
+        self.R_prev, self.t_prev = self.R_cur, self.t_cur
+        self.has_velocity = False
+        self.state = base.OK
+        self.last_kf_id = self.frame_id
+        self.last_kf_idx = int(k0)
+        self.kf_features[int(k0)] = ff
+        self.kf_bindings[int(k0)] = jnp.where(ok, pt_idx, -1)
+        self.inliers_at_last_kf = n_ok
+
+    def _frame_kp_ur(self, ff: FeatureFrame) -> jnp.ndarray:
+        d = self._depth
+        return jnp.where(d.valid, d.ur, -1.0)
+
+    # ------------------------------------------------------------- keyframe
+    def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float):
+        super()._insert_keyframe(ff, tr, ts)
+        # depth-based points for still-unbound keypoints (stereo bonus)
+        ki = self.last_kf_idx
+        kp_pt = self.kf_bindings[ki]
+        d = self._depth
+        free = (kp_pt < 0) & ff.valid & d.valid
+        cam = self.cam_params
+        rays = jnp.concatenate(
+            [(ff.xy - cam[2:4]) / cam[0:2],
+             jnp.ones((ff.xy.shape[0], 1))], axis=1)
+        Xc = rays * d.depth[:, None]
+        Rwc = self.map.kf_R[ki].T
+        X = (Xc - self.map.kf_t[ki]) @ self.map.kf_R[ki]  # R^T (Xc - t)
+        dist = jnp.linalg.norm(Xc, axis=1)
+        sf = self.cfg.orb.scale_factor ** ff.octave.astype(jnp.float32)
+        Ow = -Rwc @ self.map.kf_t[ki]
+        view = X - Ow
+        nrm = view / jnp.maximum(jnp.linalg.norm(view, axis=1,
+                                                 keepdims=True), 1e-9)
+        m, pt_idx = mapstate.add_points(
+            self.map, X, ff.desc, nrm,
+            dist * sf / (self.cfg.orb.scale_factor **
+                         (self.cfg.orb.n_levels - 1)),
+            dist * sf, ki, self.frame_id, free)
+        m = mapstate.add_observations(m, ki, pt_idx, ff.xy, ff.octave, free,
+                                      ur=jnp.where(d.valid, d.ur, -1.0))
+        self.map = m
+        self.kf_bindings[ki] = jnp.where(free, pt_idx, kp_pt)

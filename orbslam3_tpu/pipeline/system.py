@@ -63,6 +63,7 @@ class SlamConfig:
     ba_caps: tuple = (32, 6144, 24576)  # cams, pts, obs for local BA
     enable_loop_closing: bool = False
     reloc_patience: int = 10   # frames in RECENTLY_LOST before map reset
+    stereo_bf: float = 0.0     # fx * baseline; > 0 enables stereo residuals
 
 
 class System:
@@ -124,10 +125,11 @@ class System:
 
         @jax.jit
         def _insert_kf(m, ff, kp_pt, R, t, ts, frame_id,
-                       prev_ff, prev_kp_pt, prev_R, prev_t, prev_kf_idx):
+                       prev_ff, prev_kp_pt, prev_R, prev_t, prev_kf_idx,
+                       kp_ur):
             m, ki = mapstate.add_keyframe(m, R, t, ts, frame_id)
             m = mapstate.add_observations(m, ki, kp_pt, ff.xy, ff.octave,
-                                          (kp_pt >= 0) & ff.valid)
+                                          (kp_pt >= 0) & ff.valid, ur=kp_ur)
             # triangulate new points vs previous keyframe
             np_ = mapping.triangulate_new_points(
                 ff, prev_ff, (kp_pt < 0) & ff.valid,
@@ -148,7 +150,8 @@ class System:
                 ki, frame_id, sel_valid)
             # observations of the new points in both keyframes
             m = mapstate.add_observations(
-                m, ki, pt_idx, ff.xy[order], ff.octave[order], sel_valid)
+                m, ki, pt_idx, ff.xy[order], ff.octave[order], sel_valid,
+                ur=kp_ur[order])
             prev_j = np_.kp_prev[order]
             prev_j_c = jnp.maximum(prev_j, 0)
             m = mapstate.add_observations(
@@ -167,6 +170,7 @@ class System:
                 window=cfg.local_ba_window, iterations=cfg.local_ba_iters,
                 scale_factor=cfg.orb.scale_factor,
                 n_levels=cfg.orb.n_levels,
+                stereo_bf=cfg.stereo_bf,
                 cap_cams=cams, cap_pts=pts, cap_obs=obs)
 
         @jax.jit
@@ -183,6 +187,11 @@ class System:
     # ------------------------------------------------------------- frontend
     def _extract(self, img: jnp.ndarray) -> FeatureFrame:
         return extractor.extract_jit(img, self.cfg.orb)
+
+    def _frame_kp_ur(self, ff: FeatureFrame) -> jnp.ndarray:
+        """Per-keypoint stereo right-u for the current frame (-1 = mono);
+        overridden by StereoSystem."""
+        return jnp.full(ff.xy.shape[0], -1.0, jnp.float32)
 
     # ------------------------------------------------------------------ api
     def track_monocular(self, img: Optional[jnp.ndarray], ts: float,
@@ -331,13 +340,14 @@ class System:
         prev_idx = self.last_kf_idx
         prev_ff = self.kf_features[prev_idx]
         prev_kp_pt = self.kf_bindings[prev_idx]
+        kp_ur = self._frame_kp_ur(ff)
         m, ki, kp_pt_new, n_new = self._insert_kf_jit(
             self.map, ff, tr.kp_pt, tr.R, tr.t,
             jnp.asarray(ts, jnp.float32),
             jnp.asarray(self.frame_id, jnp.int32),
             prev_ff, prev_kp_pt,
             self.map.kf_R[prev_idx], self.map.kf_t[prev_idx],
-            jnp.asarray(prev_idx, jnp.int32))
+            jnp.asarray(prev_idx, jnp.int32), kp_ur)
         ki = int(ki)
         m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
         m = self._local_ba(m, jnp.asarray(ki, jnp.int32))

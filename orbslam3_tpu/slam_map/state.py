@@ -57,6 +57,7 @@ class MapState(NamedTuple):
     obs_pt: jnp.ndarray      # (O,) int32
     obs_uv: jnp.ndarray      # (O,2)
     obs_octave: jnp.ndarray  # (O,) int32
+    obs_ur: jnp.ndarray      # (O,) stereo right-u (-1 = mono observation)
     obs_valid: jnp.ndarray   # (O,) bool
     # --- counters (traced scalars) ----------------------------------------
     n_kf: jnp.ndarray        # () int32 next free kf slot
@@ -88,6 +89,7 @@ def empty_map(cap: MapCapacity) -> MapState:
         obs_pt=jnp.full(O, -1, jnp.int32),
         obs_uv=jnp.zeros((O, 2), jnp.float32),
         obs_octave=jnp.zeros(O, jnp.int32),
+        obs_ur=jnp.full(O, -1.0, jnp.float32),
         obs_valid=jnp.zeros(O, bool),
         n_kf=jnp.zeros((), jnp.int32),
         n_pt=jnp.zeros((), jnp.int32),
@@ -155,12 +157,16 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
 
 
 def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
-                     valid) -> MapState:
-    """Append a fixed-size chunk of observations (masked)."""
+                     valid, ur=None) -> MapState:
+    """Append a fixed-size chunk of observations (masked).  `ur`: stereo
+    right-u per observation (-1/None = mono)."""
     B = pt_idx.shape[0]
+    if ur is None:
+        ur = jnp.full(B, -1.0, jnp.float32)
     v = valid & (pt_idx >= 0)
     order = jnp.argsort(~v)
     pt_s, uv_s, oct_s, v_s = pt_idx[order], uv[order], octave[order], v[order]
+    ur_s = ur[order]
     n_new = jnp.sum(v_s.astype(jnp.int32))
     base = m.n_obs
     dst = base + jnp.arange(B, dtype=jnp.int32)
@@ -176,6 +182,7 @@ def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
         obs_pt=wr(m.obs_pt, pt_s),
         obs_uv=wr(m.obs_uv, uv_s),
         obs_octave=wr(m.obs_octave, oct_s),
+        obs_ur=wr(m.obs_ur, ur_s),
         obs_valid=wr(m.obs_valid, write),
         n_obs=base + n_new,
     )

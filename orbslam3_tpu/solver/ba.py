@@ -38,7 +38,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class BAProblem(NamedTuple):
-    """Fixed-capacity visual BA problem (COO observations)."""
+    """Fixed-capacity visual BA problem (COO observations).
+
+    Stereo observations carry obs_ur >= 0 (rectified right-image u); with
+    a nonzero `stereo_bf` (fx * baseline) passed to bundle_adjust they add
+    the reference's third residual row  r3 = ur - (u_proj - bf / z)
+    (EdgeStereoSE3ProjectXYZ, reference include/OptimizableTypes.h)."""
     # cameras
     R: jnp.ndarray           # (K, 3, 3) R_cw
     t: jnp.ndarray           # (K, 3)
@@ -53,6 +58,7 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray      # (O, 2)
     obs_inv_sigma2: jnp.ndarray  # (O,)
     obs_valid: jnp.ndarray   # (O,) bool
+    obs_ur: jnp.ndarray = None   # (O,) stereo right-u; -1/None = mono
 
 
 class BAResult(NamedTuple):
@@ -63,21 +69,41 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray        # robust total cost
 
 
-def _residuals(prob: BAProblem, R, t, X, cam_model, cam_params):
+def _residuals(prob: BAProblem, R, t, X, cam_model, cam_params,
+               stereo_bf: float = 0.0):
     ci, pi = prob.obs_cam, prob.obs_pt
     Xc = lie.se3_apply(R[ci], t[ci], X[pi])
-    e = prob.obs_uv - cameras.project(cam_model, cam_params, Xc)
+    uvp = cameras.project(cam_model, cam_params, Xc)
+    e = prob.obs_uv - uvp
+    if stereo_bf > 0.0 and prob.obs_ur is not None:
+        ur_pred = uvp[:, 0] - stereo_bf / jnp.maximum(Xc[:, 2], 1e-6)
+        has_d = prob.obs_ur >= 0
+        e3 = jnp.where(has_d, prob.obs_ur - ur_pred, 0.0)
+        e = jnp.concatenate([e, e3[:, None]], axis=1)
     return e, Xc
 
 
-def _jacobians(prob: BAProblem, R, t, X, cam_model, cam_params):
+def _jacobians(prob: BAProblem, R, t, X, cam_model, cam_params,
+               stereo_bf: float = 0.0):
     """Per-observation residual + Jacobians wrt camera (left-mult se3) and
-    point (world).  Returns e (O,2), Jc (O,2,6), Jp (O,2,3), Xc."""
+    point (world).  Returns e (O,r), Jc (O,r,6), Jp (O,r,3), Xc with
+    r = 2 (mono) or 3 (stereo row appended)."""
     ci, pi = prob.obs_cam, prob.obs_pt
     Xc = lie.se3_apply(R[ci], t[ci], X[pi])
-    e = prob.obs_uv - cameras.project(cam_model, cam_params, Xc)
+    uvp = cameras.project(cam_model, cam_params, Xc)
+    e = prob.obs_uv - uvp
     Jproj = cameras.project_jac(cam_model, cam_params, Xc)   # (O,2,3)
     O = ci.shape[0]
+    if stereo_bf > 0.0 and prob.obs_ur is not None:
+        z = jnp.maximum(Xc[:, 2], 1e-6)
+        ur_pred = uvp[:, 0] - stereo_bf / z
+        has_d = prob.obs_ur >= 0
+        e3 = jnp.where(has_d, prob.obs_ur - ur_pred, 0.0)
+        e = jnp.concatenate([e, e3[:, None]], axis=1)
+        # d ur_pred/dXc = d u/dXc + bf/z^2 * dz/dXc
+        Jur = Jproj[:, 0, :] + (stereo_bf / (z * z))[:, None] *             jnp.concatenate([jnp.zeros((O, 2)), jnp.ones((O, 1))], axis=1)
+        Jur = Jur * has_d[:, None].astype(jnp.float32)
+        Jproj = jnp.concatenate([Jproj, Jur[:, None, :]], axis=1)  # (O,3,3)
     dXc_dcam = jnp.concatenate(
         [jnp.broadcast_to(jnp.eye(3), (O, 3, 3)), -lie.hat(Xc)], axis=-1)
     Jc = -jnp.einsum("nij,njk->nik", Jproj, dXc_dcam, precision=_HI)
@@ -106,9 +132,11 @@ def _spd_inv3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_normal_eq(prob: BAProblem, R, t, X, cam_model, cam_params,
-                     chi2_th: float, use_robust: bool):
+                     chi2_th: float, use_robust: bool,
+                     stereo_bf: float = 0.0):
     """Weighted residuals/Jacobians and the Schur pieces."""
-    e, Jc, Jp, _ = _jacobians(prob, R, t, X, cam_model, cam_params)
+    e, Jc, Jp, _ = _jacobians(prob, R, t, X, cam_model, cam_params,
+                              stereo_bf)
     w_info = prob.obs_inv_sigma2
     chi2 = jnp.sum(e * e, axis=-1) * w_info
     w_rob = robust.huber_weight(chi2, chi2_th ** 0.5) if use_robust else 1.0
@@ -147,8 +175,8 @@ def _huber_cost(chi2, delta):
 
 
 def _cost_only(prob: BAProblem, R, t, X, cam_model, cam_params,
-               chi2_th: float, use_robust: bool):
-    e, _ = _residuals(prob, R, t, X, cam_model, cam_params)
+               chi2_th: float, use_robust: bool, stereo_bf: float = 0.0):
+    e, _ = _residuals(prob, R, t, X, cam_model, cam_params, stereo_bf)
     chi2 = jnp.sum(e * e, axis=-1) * prob.obs_inv_sigma2
     m = (prob.obs_valid & prob.pt_valid[prob.obs_pt] &
          prob.cam_valid[prob.obs_cam]).astype(jnp.float32)
@@ -195,14 +223,16 @@ def _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam, cam_fixed, pt_valid):
 def bundle_adjust(prob: BAProblem, cam_model: str, cam_params,
                   iterations: int = 10, lam0: float = 1e-5,
                   chi2_th: float = robust.CHI2_MONO,
-                  use_robust: bool = True) -> BAResult:
+                  use_robust: bool = True,
+                  stereo_bf: float = 0.0) -> BAResult:
     """LM loop with branch-free accept/reject (reference uses g2o LM;
     iteration counts per call site: 20 init GBA, 10 local, 25 inertial)."""
 
     def step(carry, _):
         R, t, X, lam, cost = carry
         Hcc, bc, Hpp, bp, Ccp, cur_cost, _, _ = _build_normal_eq(
-            prob, R, t, X, cam_model, cam_params, chi2_th, use_robust)
+            prob, R, t, X, cam_model, cam_params, chi2_th, use_robust,
+            stereo_bf)
         dx_cam, dx_pt = _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam,
                                      prob.cam_fixed, prob.pt_valid)
         dR, dt = lie.se3_exp(dx_cam)
@@ -210,7 +240,7 @@ def bundle_adjust(prob: BAProblem, cam_model: str, cam_params,
         R_new = lie.normalize_rotation(R_new)
         X_new = X + dx_pt
         new_cost = _cost_only(prob, R_new, t_new, X_new, cam_model,
-                              cam_params, chi2_th, use_robust)
+                              cam_params, chi2_th, use_robust, stereo_bf)
         accept = new_cost < cur_cost
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
