@@ -1,0 +1,76 @@
+"""Dataset / sensor configuration presets.
+
+Parity target: the reference's Settings structs + per-dataset YAML
+calibrations (SURVEY §5.6 — benchmark parity requires the upstream EuRoC
+yaml parameters: 1000-1200 features, 8 levels, scaleFactor 1.2,
+thFAST 20/7, NOT the fork's aerial 1-level/10k config).
+
+Each preset returns the fully wired config objects for the matching
+System class.
+"""
+
+from __future__ import annotations
+
+from .features.extractor import OrbParams
+from .io import euroc as euroc_io
+from .pipeline import inertial_system, stereo_system, system as base_sys
+from .slam_map import state as mapstate
+
+
+def euroc_mono(**overrides) -> base_sys.SlamConfig:
+    """EuRoC cam0 monocular (images must be radtan-undistorted first —
+    io/euroc.undistort_map or the native ingest)."""
+    cam = euroc_io.EUROC_CAM0
+    cfg = dict(
+        cam_model="pinhole", cam_params=cam["params"],
+        image_hw=cam["resolution"],
+        orb=OrbParams(n_features=1200, n_levels=8, scale_factor=1.2,
+                      ini_th_fast=20.0, min_th_fast=7.0),
+        max_frames_between_kf=int(cam["rate_hz"]),
+    )
+    cfg.update(overrides)
+    return base_sys.SlamConfig(**cfg)
+
+
+def euroc_mono_inertial(**overrides):
+    """EuRoC monocular-inertial: SlamConfig + InertialConfig."""
+    imu = euroc_io.EUROC_IMU
+    icfg = inertial_system.InertialConfig(
+        imu_freq=imu["rate_hz"],
+        noise_gyro=imu["noise_gyro"], noise_acc=imu["noise_acc"],
+        walk_gyro=imu["walk_gyro"], walk_acc=imu["walk_acc"],
+        Tbc=tuple(imu["Tbc"].reshape(-1).tolist()),
+        init_time_s=2.0, init_min_kfs=6)
+    return euroc_mono(**overrides), icfg
+
+
+def euroc_stereo(**overrides):
+    """EuRoC stereo (rectified)."""
+    cam = euroc_io.EUROC_CAM0
+    baseline = 0.110074  # EuRoC cam0-cam1 baseline after rectification
+    cfg = euroc_mono(stereo_bf=cam["params"][0] * baseline, **overrides)
+    scfg = stereo_system.StereoConfig(baseline=baseline)
+    return cfg, scfg
+
+
+def tumvi_mono(**overrides) -> base_sys.SlamConfig:
+    """TUM-VI room (fisheye Kannala-Brandt, 512x512)."""
+    cam = euroc_io.TUMVI_CAM0
+    cfg = dict(
+        cam_model="kb8", cam_params=cam["params"],
+        image_hw=cam["resolution"],
+        orb=OrbParams(n_features=1000, n_levels=8, scale_factor=1.2,
+                      ini_th_fast=20.0, min_th_fast=7.0),
+        max_frames_between_kf=int(cam["rate_hz"]),
+    )
+    cfg.update(overrides)
+    return base_sys.SlamConfig(**cfg)
+
+
+def tumvi_mono_inertial(**overrides):
+    """TUM-VI monocular-inertial (BMI160 IMU @200 Hz)."""
+    icfg = inertial_system.InertialConfig(
+        imu_freq=200.0, noise_gyro=8.0e-5, noise_acc=1.4e-3,
+        walk_gyro=1.0e-6, walk_acc=8.6e-5,
+        init_time_s=2.0, init_min_kfs=6)
+    return tumvi_mono(**overrides), icfg

@@ -55,10 +55,13 @@ def attempt_relocalization(system, ff, loop_closer,
         P = m.pt_xyz.shape[0]
         pt_idx = jnp.clip(cand_kp_pt[jnp.maximum(mm.idx, 0)], 0, P - 1)
         X = m.pt_xyz[pt_idx]
-        res = pose_opt.pose_optimization(
-            m.kf_R[cand], m.kf_t[cand], X, ff.xy,
-            jnp.ones(ff.xy.shape[0]), mm.valid,
-            system.cfg.cam_model, system.cam_params)
-        if int(res.n_inliers) >= min_inliers:
+        # prior-free robust PnP (the MLPnP RANSAC slot), which internally
+        # refines with the IRLS pose optimizer
+        from ..geometry import pnp
+        res = pnp.solve_pnp(
+            X, ff.xy, mm.valid, system.cfg.cam_model, system.cam_params,
+            jax.random.PRNGKey(system.frame_id),
+            min_inliers=min_inliers)
+        if bool(res.success):
             return True, res.R, res.t
     return False, None, None

@@ -112,7 +112,22 @@ class System:
 
         @jax.jit
         def _reconstruct(xy1, xy2, valid, key):
-            return twoview.reconstruct(xy1, xy2, valid, self.cam_params, key)
+            if cam_model == "pinhole":
+                return twoview.reconstruct(xy1, xy2, valid,
+                                           self.cam_params, key)
+            # non-pinhole (fisheye): run the F/H machinery on normalized
+            # bearing coordinates with a unit virtual pinhole (the
+            # reference's KannalaBrandt8 path reconstructs from rays,
+            # src/CameraModels/KannalaBrandt8.cpp TriangulateMatches)
+            from ..ops import cameras as cam_ops
+            b1 = cam_ops.unproject(cam_model, self.cam_params, xy1)
+            b2 = cam_ops.unproject(cam_model, self.cam_params, xy2)
+            n1 = b1[:, :2] / b1[:, 2:3]
+            n2 = b2[:, :2] / b2[:, 2:3]
+            virtual_k = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)
+            f_approx = self.cam_params[0]
+            return twoview.reconstruct(n1, n2, valid, virtual_k, key,
+                                       sigma=1.0 / f_approx)
 
         @functools.partial(jax.jit, donate_argnums=())
         def _track(m, ff, R_guess, t_guess, radius_th):
