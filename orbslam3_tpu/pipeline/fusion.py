@@ -122,6 +122,24 @@ def keyframe_redundancy(m: mapstate.MapState, kf_idx,
     return (frac >= redundant_th) & (n_mine > 0), frac
 
 
+def redundancy_window(m: mapstate.MapState, center_kf, window: int = 8,
+                      protect_recent: int = 3,
+                      redundant_th: float = 0.9,
+                      min_other_obs: int = 3):
+    """Vectorized redundancy flags for KFs in (center-window, center-
+    protect_recent]; KF0/KF1 are never candidates.  Returns (K,) bool."""
+    K = m.kf_R.shape[0]
+    ids = jnp.arange(K)
+    cand = (ids > jnp.maximum(center_kf - window, 1)) &            (ids <= center_kf - protect_recent) & m.kf_valid
+
+    def one(k):
+        red, _ = keyframe_redundancy(m, k, redundant_th, min_other_obs)
+        return red
+
+    flags = jax.vmap(one)(ids)
+    return flags & cand
+
+
 def cull_keyframe(m: mapstate.MapState, kf_idx) -> mapstate.MapState:
     """Remove a redundant keyframe: invalidate it and its observations
     (reference KeyFrame::SetBadFlag, src/KeyFrame.cc:652 — minus the

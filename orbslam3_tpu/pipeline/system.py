@@ -64,6 +64,8 @@ class SlamConfig:
     enable_loop_closing: bool = False
     reloc_patience: int = 10   # frames in RECENTLY_LOST before map reset
     stereo_bf: float = 0.0     # fx * baseline; > 0 enables stereo residuals
+    fuse_every_n_kf: int = 4   # SearchInNeighbors cadence (0 = off)
+    kf_culling: bool = True    # KeyFrameCulling (fork disabled it; we don't)
 
 
 class System:
@@ -192,12 +194,26 @@ class System:
         def _cull(m, frame_id):
             return mapstate.cull_points(m, frame_id)
 
+        @jax.jit
+        def _fuse(m, kf_idx, ff, kp_pt):
+            from . import fusion
+            return fusion.fuse_into_keyframe(
+                m, kf_idx, ff, kp_pt, cam_model, self.cam_params,
+                cfg.image_hw, cfg.orb.scale_factor, cfg.orb.n_levels)
+
+        @jax.jit
+        def _redundancy(m, center):
+            from . import fusion
+            return fusion.redundancy_window(m, center)
+
         self._init_match = _init_match
         self._reconstruct = _reconstruct
         self._track = _track
         self._insert_kf_jit = _insert_kf
         self._local_ba = _local_ba
         self._cull = _cull
+        self._fuse = _fuse
+        self._redundancy = _redundancy
 
     # ------------------------------------------------------------- frontend
     def _extract(self, img: jnp.ndarray) -> FeatureFrame:
@@ -381,6 +397,23 @@ class System:
         self.last_kf_idx = ki
         self.last_kf_id = self.frame_id
         self.inliers_at_last_kf = int(tr.n_inliers)
+        # SearchInNeighbors: fuse map points into this keyframe
+        # (reference src/LocalMapping.cc:764; cadence-limited here)
+        if self.cfg.fuse_every_n_kf and ki % self.cfg.fuse_every_n_kf == 0:
+            m2, kp_pt2, _ = self._fuse(self.map,
+                                       jnp.asarray(ki, jnp.int32), ff,
+                                       self.kf_bindings[ki])
+            self.map = m2
+            self.kf_bindings[ki] = kp_pt2
+        # KeyFrameCulling (reference src/LocalMapping.cc:902; the fork
+        # disabled it because of pointer crashes — SoA has none)
+        if self.cfg.kf_culling and ki > 6 and ki % 4 == 0:
+            flags = self._redundancy(self.map, jnp.asarray(ki, jnp.int32))
+            reds = np.nonzero(np.asarray(flags))[0]
+            if len(reds):
+                from . import fusion
+                self.map = fusion.cull_keyframe(
+                    self.map, jnp.asarray(int(reds[0]), jnp.int32))
         if self.loop_closer is not None:
             self.loop_closer.try_close(self, ff, ki)
 

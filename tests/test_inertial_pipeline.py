@@ -35,14 +35,25 @@ def camera_path_smooth(n_frames):
                          -0.8 * 1.21 * np.sin(1.1 * t + 1.0),
                          -0.4 * 0.81 * np.sin(0.9 * t)])
 
+    def _rodrigues(w):
+        """Pure-numpy SO3 exp (the jax version would round-trip the TPU
+        tunnel once per IMU sample and dominate the drive wall time)."""
+        th = np.linalg.norm(w)
+        if th < 1e-10:
+            return np.eye(3)
+        k = w / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
     def rot(t):  # gentle yaw
-        return np.asarray(lie.exp_so3(
-            jnp.asarray([0.0, 0.12 * np.sin(0.3 * t), 0.05 * t],
-                        jnp.float32)))
+        return _rodrigues(np.array([0.0, 0.12 * np.sin(0.3 * t), 0.05 * t]))
 
     def rot_rate(t, eps=1e-4):
         R0, R1 = rot(t), rot(t + eps)
-        return np.asarray(lie.log_so3(jnp.asarray(R0.T @ R1))) / eps
+        dR = R0.T @ R1
+        w = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                      dR[1, 0] - dR[0, 1]]) * 0.5
+        return w / eps
 
     frames = []
     for i in range(n_frames):
