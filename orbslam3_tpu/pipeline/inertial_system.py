@@ -35,7 +35,8 @@ from ..ops import imu as imu_ops
 from ..ops import lie
 from ..slam_map import state as mapstate
 from ..solver import inertial as inertial_solver
-from . import system as base
+from ..solver import vi_ba as vi_ba_solver
+from . import mapping, system as base
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +52,8 @@ class InertialConfig:
     refine_time_s: float = 5.0   # second FIBA stage (VIBA1)
     max_imu_per_frame: int = 64  # preintegration buffer capacity
     max_factors: int = 256       # KF-to-KF preintegration capacity
+    vi_window_factors: int = 12  # factors in the VI local BA window
+    vi_ba_iters: int = 8
 
 
 class InertialSystem(base.System):
@@ -91,6 +94,69 @@ class InertialSystem(base.System):
             return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
 
         self._preint = _preint
+        cfg = self.cfg
+        icfg = self.icfg
+
+        @jax.jit
+        def _vi_local_ba(m, center_kf, f: inertial_solver.PreintFactor):
+            """LocalInertialBA parity (reference src/Optimizer.cc:2448):
+            visual window + inertial chain over the temporal window,
+            25-iteration class LM with lambda0=1e0 semantics realized by
+            the VI-BA's own damping schedule."""
+            cams, pts, obs = cfg.ba_caps
+            prob_v, cam_sel, cam_ok, pt_sel, pt_ok = \
+                mapping.gather_window_problem(
+                    m, center_kf, cfg.local_ba_window, cfg.orb.n_levels,
+                    cfg.orb.scale_factor, cap_cams=cams, cap_pts=pts,
+                    cap_obs=obs)
+            K = m.kf_R.shape[0]
+            cam_inv = jnp.full(K, -1, jnp.int32).at[
+                jnp.where(cam_ok, cam_sel, K)].set(
+                jnp.arange(cam_sel.shape[0], dtype=jnp.int32), mode="drop")
+            # remap factors into the compacted camera indexing
+            fi = cam_inv[jnp.clip(f.kf_i, 0, K - 1)]
+            fj = cam_inv[jnp.clip(f.kf_j, 0, K - 1)]
+            f2 = f._replace(
+                kf_i=jnp.maximum(fi, 0), kf_j=jnp.maximum(fj, 0),
+                valid=f.valid & (fi >= 0) & (fj >= 0))
+            # body states of the selected cameras
+            Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, prob_v.R)
+            tbw = jnp.einsum("ij,kj->ki", self.Rbc, prob_v.t) + self._tbc
+            Rwb = jnp.swapaxes(Rbw, 1, 2)
+            pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
+            prob = vi_ba_solver.VIProblem(
+                Rwb=Rwb, pwb=pwb,
+                vel=m.kf_vel[cam_sel], bias=m.kf_bias[cam_sel],
+                cam_fixed=prob_v.cam_fixed, cam_valid=prob_v.cam_valid,
+                X=prob_v.X, pt_valid=prob_v.pt_valid,
+                obs_cam=prob_v.obs_cam, obs_pt=prob_v.obs_pt,
+                obs_uv=prob_v.obs_uv,
+                obs_inv_sigma2=prob_v.obs_inv_sigma2,
+                obs_valid=prob_v.obs_valid,
+                factors=f2, gravity=imu_ops.GRAVITY,
+                Rcb=self.Rcb, tcb=self.tcb)
+            res = vi_ba_solver.vi_bundle_adjust(
+                prob, cfg.cam_model, self.cam_params,
+                iterations=icfg.vi_ba_iters, lam0=1.0)
+            # convert optimized body poses back to camera poses
+            Rbw2 = jnp.swapaxes(res.Rwb, 1, 2)
+            tbw2 = -jnp.einsum("kij,kj->ki", Rbw2, res.pwb)
+            Rcw2 = jnp.einsum("ij,kjl->kil", self.Rcb, Rbw2)
+            tcw2 = jnp.einsum("ij,kj->ki", self.Rcb, tbw2) + self.tcb
+            # scatter back
+            free = cam_ok & ~prob_v.cam_fixed
+            dstc = jnp.where(free, cam_sel, K)
+            kf_R = m.kf_R.at[dstc].set(Rcw2, mode="drop")
+            kf_t = m.kf_t.at[dstc].set(tcw2, mode="drop")
+            kf_vel = m.kf_vel.at[dstc].set(res.vel, mode="drop")
+            kf_bias = m.kf_bias.at[dstc].set(res.bias, mode="drop")
+            P = m.pt_xyz.shape[0]
+            dstp = jnp.where(pt_ok, pt_sel, P)
+            pt_xyz = m.pt_xyz.at[dstp].set(res.X, mode="drop")
+            return m._replace(kf_R=kf_R, kf_t=kf_t, kf_vel=kf_vel,
+                              kf_bias=kf_bias, pt_xyz=pt_xyz)
+
+        self._vi_local_ba = _vi_local_ba
 
     # ------------------------------------------------------------------ api
     def grab_imu(self, ts: float, gyro, acc):
@@ -195,7 +261,18 @@ class InertialSystem(base.System):
         prev_ts = float(self.map.kf_ts[prev_idx])
         # finalize KF-interval preintegration from the buffered samples
         st = self._preintegrate_buffer(prev_ts, ts)
-        super()._insert_keyframe(ff, tr, ts)
+        if self.imu_initialized:
+            # swap the visual local BA for the visual-inertial window BA
+            # (reference: LocalInertialBA replaces LocalBundleAdjustment
+            # once the IMU is initialized, src/LocalMapping.cc:117-152)
+            self._visual_local_ba = self._local_ba
+            self._local_ba = self._vi_ba_dispatch
+            try:
+                super()._insert_keyframe(ff, tr, ts)
+            finally:
+                self._local_ba = self._visual_local_ba
+        else:
+            super()._insert_keyframe(ff, tr, ts)
         new_idx = self.last_kf_idx
         if st is not None:
             self.preints.append(st)
@@ -210,6 +287,23 @@ class InertialSystem(base.System):
                 len(self.preints) >= self.icfg.init_min_kfs and \
                 ts - self.kf_time0 >= self.icfg.init_time_s:
             self._initialize_imu()
+
+    def _window_factors(self):
+        """Stack the preintegration factors touching the BA window."""
+        capf = self.icfg.vi_window_factors
+        pairs = self.preint_kf_pairs[-capf:]
+        pre = self.preints[-capf:]
+        if not pre:
+            return None
+        ki = [p[0] for p in pairs]
+        kj = [p[1] for p in pairs]
+        return inertial_solver.stack_preints(pre, ki, kj, capacity=capf)
+
+    def _vi_ba_dispatch(self, m, center_kf):
+        f = self._window_factors()
+        if f is None:
+            return self._visual_local_ba(m, center_kf)
+        return self._vi_local_ba(m, center_kf, f)
 
     def _preintegrate_buffer(self, t0: float, t1: float):
         take = [s for s in self.kf_imu_buffer if t0 < s[0] <= t1]
