@@ -57,6 +57,11 @@ class InertialConfig:
 
 
 class InertialSystem(base.System):
+    # stereo subclasses set True: scale is already metric, the inertial
+    # init then solves only gravity/bias/velocities (reference passes
+    # bFixedScale for stereo-inertial, src/Optimizer.cc:2964)
+    imu_fix_scale = False
+
     def __init__(self, config: base.SlamConfig, icfg: InertialConfig):
         super().__init__(config)
         self.icfg = icfg
@@ -343,8 +348,9 @@ class InertialSystem(base.System):
         Rwb = jnp.swapaxes(Rbw, 1, 2)
         pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
         res = inertial_solver.inertial_only_init(
-            f, Rwb, pwb, m.kf_valid, iterations=60)
-        s = float(res.scale)
+            f, Rwb, pwb, m.kf_valid, iterations=60,
+            fix_scale=self.imu_fix_scale)
+        s = 1.0 if self.imu_fix_scale else float(res.scale)
         if s < 0.1:   # reference rejects scale < 0.1 (LocalMapping.cc:1166)
             return
         # re-anchor: x' = s * Rgw x  with Rgw = Rwg^T

@@ -108,7 +108,11 @@ class StereoSystem(base.System):
     # ------------------------------------------------------------- keyframe
     def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float):
         super()._insert_keyframe(ff, tr, ts)
-        # depth-based points for still-unbound keypoints (stereo bonus)
+        self._stereo_new_points(ff)
+
+    def _stereo_new_points(self, ff: FeatureFrame):
+        """Depth-based points for still-unbound keypoints (stereo bonus;
+        reference CreateNewKeyFrame stereo path)."""
         ki = self.last_kf_idx
         kp_pt = self.kf_bindings[ki]
         d = self._depth
