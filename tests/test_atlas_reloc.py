@@ -135,3 +135,25 @@ class TestGeoref:
         assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
         x, y = georef.wgs84_to_epsg3857(np.array([45.0]), np.array([90.0]))
         assert x[0] > 1e6 and y[0] > 1e6
+
+
+class TestViz:
+    def test_map_plot_export(self, tmp_path):
+        from orbslam3_tpu import viz
+        world = SyntheticWorld(seed=9)
+        poses = camera_path(20, speed=0.05)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=HW, min_init_matches=80,
+            max_frames_between_kf=6, ba_caps=(24, 4096, 16384))
+        sys_ = slam_system.System(cfg)
+        for i, (R_cw, t_cw, _) in enumerate(poses):
+            sys_.track_monocular(None, ts=i * 0.05,
+                                 features=world.frame(R_cw, t_cw))
+        p = viz.plot_map(sys_, str(tmp_path / "map.png"))
+        assert os.path.getsize(p) > 10000
+        ff = world.frame(*poses[-1][:2])
+        img = np.zeros(HW, np.uint8)
+        p2 = viz.plot_frame(img, ff, sys_.kf_bindings.get(
+            sys_.last_kf_idx, jnp.full(ff.xy.shape[0], -1)), 
+            str(tmp_path / "frame.png"))
+        assert os.path.getsize(p2) > 10000
