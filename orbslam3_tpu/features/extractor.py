@@ -83,8 +83,8 @@ def _level_grid(budget: int, h: int, w: int) -> tuple[int, int]:
     return rows, cols
 
 
-def _extract_level(img_lv, img_blur_lv, budget: int, cand_cap: int,
-                   p: OrbParams):
+def _select_level(img_lv, budget: int, cand_cap: int, p: OrbParams):
+    """FAST + candidate top-k + uniform selection for one pyramid level."""
     h, w = img_lv.shape
     score = fast.detect(img_lv, p.min_th_fast, border=max(p.border, 3))
     flat = score.reshape(-1)
@@ -104,41 +104,58 @@ def _extract_level(img_lv, img_blur_lv, budget: int, cand_cap: int,
                                     _level_grid(budget, h, w), budget)
     ok = sel >= 0
     sel_c = jnp.maximum(sel, 0)
-    kxy = xy[sel_c]
-    kresp = top_v[sel_c]
-    kang = orient.ic_angle(img_lv, kxy)
-    kdesc = brief.compute_descriptors(img_blur_lv, kxy, kang)
-    return kxy, kresp, kang, kdesc, ok
+    return xy[sel_c], top_v[sel_c], ok
 
 
 def extract(img: jnp.ndarray, p: OrbParams) -> FeatureFrame:
     """img: (H, W) grayscale 0..255, u8 or f32.  Jit-able; one trace per
     (H, W).  Feed uint8 from the host — it is 4x cheaper to transfer and
-    is cast on device."""
+    is cast on device.
+
+    After per-level selection, orientation and descriptors run ONCE over a
+    vertically packed pyramid atlas (all levels in one image) — one patch
+    gather + one binned-BRIEF matmul stack for all keypoints instead of
+    per-level kernel chains.  Patches stay level-local because the
+    selection border (>= 19 px) covers both patch radii.
+    """
     img = img.astype(jnp.float32)
     pyr, blurred = image.build_pyramid(img, p.n_levels, p.scale_factor)
     budgets = p.features_per_level()
     sf = p.scale_factors()
+    w0 = pyr[0].shape[1]
+    row_off = np.cumsum([0] + [q.shape[0] for q in pyr[:-1]]).tolist()
 
-    xs, rs, os_, as_, ds, vs = [], [], [], [], [], []
+    xs_lv, rs, os_, vs, xs_atlas = [], [], [], [], []
     for lv in range(p.n_levels):
         area_ratio = (pyr[lv].shape[0] * pyr[lv].shape[1]) / (
             pyr[0].shape[0] * pyr[0].shape[1])
         cap = max(256, min(int(p.max_candidates * area_ratio),
                            pyr[lv].shape[0] * pyr[lv].shape[1]))
-        kxy, kresp, kang, kdesc, ok = _extract_level(
-            pyr[lv], blurred[lv], budgets[lv], cap, p)
-        xs.append(kxy * sf[lv])  # scale to level-0 coords
+        kxy, kresp, ok = _select_level(pyr[lv], budgets[lv], cap, p)
+        xs_lv.append(kxy * sf[lv])  # level-0 coords for the output
+        xs_atlas.append(kxy + jnp.asarray([0.0, row_off[lv]]))
         rs.append(kresp)
         os_.append(jnp.full(budgets[lv], lv, jnp.int32))
-        as_.append(kang)
-        ds.append(kdesc)
         vs.append(ok)
 
+    def pack(levels):
+        return jnp.concatenate(
+            [jnp.pad(q, ((0, 0), (0, w0 - q.shape[1]))) for q in levels],
+            axis=0)
+
+    atlas = pack(pyr)
+    atlas_blur = pack(blurred)
+    xy_atlas = jnp.concatenate(xs_atlas)
+    # separate 2D slices for orientation (raw) and descriptors (blurred):
+    # a fused channels-last (H, W, 2) slice measured SLOWER (C=2 breaks
+    # the 128-lane tiling)
+    angle = orient.ic_angle(atlas, xy_atlas)
+    desc = brief.compute_descriptors(atlas_blur, xy_atlas, angle)
+
     return FeatureFrame(
-        xy=jnp.concatenate(xs), response=jnp.concatenate(rs),
-        octave=jnp.concatenate(os_), angle=jnp.concatenate(as_),
-        desc=jnp.concatenate(ds), valid=jnp.concatenate(vs))
+        xy=jnp.concatenate(xs_lv), response=jnp.concatenate(rs),
+        octave=jnp.concatenate(os_), angle=angle,
+        desc=desc, valid=jnp.concatenate(vs))
 
 
 @functools.partial(jax.jit, static_argnums=1)

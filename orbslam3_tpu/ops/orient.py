@@ -70,13 +70,39 @@ def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarr
     return jax.vmap(slice_one)(y0, x0)
 
 
-def ic_angle(img: jnp.ndarray, xy: jnp.ndarray,
-             half_patch: int = HALF_PATCH_SIZE) -> jnp.ndarray:
-    """Orientation in degrees [0, 360) for integer keypoint coords (N, 2)."""
+def ic_angle_conv(img: jnp.ndarray, xy: jnp.ndarray,
+                  half_patch: int = HALF_PATCH_SIZE) -> jnp.ndarray:
+    """Dense-moment-map variant (one 31x31 2-channel conv + per-keypoint
+    lookup).  NOTE: measured SLOWER than the patch formulation on v5e —
+    a 1-input-channel spatial conv leaves the MXU almost idle."""
     wu, wv = _moment_weights(half_patch)
-    patches = extract_patches(img, xy.astype(jnp.int32), half_patch)
+    k = jnp.stack([jnp.asarray(wu), jnp.asarray(wv)], axis=0)  # (2, s, s)
+    x = img[None, None, :, :]
+    m = jax.lax.conv_general_dilated(
+        x, k[:, None, :, :], (1, 1),
+        padding=[(half_patch, half_patch)] * 2)  # (1, 2, H, W)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+    m10 = m[0, 0, yi, xi]
+    m01 = m[0, 1, yi, xi]
+    ang = jnp.arctan2(m01, m10)
+    ang = jnp.where(ang < 0, ang + 2 * jnp.pi, ang)
+    return ang * (180.0 / jnp.pi)
+
+
+def ic_angle_from_patches(patches: jnp.ndarray,
+                          half_patch: int = HALF_PATCH_SIZE) -> jnp.ndarray:
+    """Orientation from pre-extracted (N, 2r+1, 2r+1) patches."""
+    wu, wv = _moment_weights(half_patch)
     m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(wu))
     m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(wv))
     ang = jnp.arctan2(m01, m10)
     ang = jnp.where(ang < 0, ang + 2 * jnp.pi, ang)
     return ang * (180.0 / jnp.pi)
+
+
+def ic_angle(img: jnp.ndarray, xy: jnp.ndarray,
+             half_patch: int = HALF_PATCH_SIZE) -> jnp.ndarray:
+    """Orientation in degrees [0, 360) for integer keypoint coords (N, 2)."""
+    patches = extract_patches(img, xy.astype(jnp.int32), half_patch)
+    return ic_angle_from_patches(patches, half_patch)

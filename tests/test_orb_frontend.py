@@ -184,3 +184,44 @@ class TestExtractor:
         d, _ = tree.query(xy1, k=1)
         frac = float(np.mean(d < 1.0))
         assert frac > 0.5, frac
+
+
+class TestOrientConvEquivalence:
+    def test_conv_matches_patch_oracle(self):
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((200, 300)).astype(np.float32) * 255)
+        xy = jnp.asarray(rng.uniform(20, 180, (50, 2)).astype(np.float32))
+        a1 = orient.ic_angle(img, xy)
+        a2 = orient.ic_angle_conv(img, xy)
+        d = np.abs(np.asarray(a1) - np.asarray(a2))
+        d = np.minimum(d, 360 - d)
+        assert d.max() < 0.1, d.max()
+
+
+class TestBriefBinned:
+    def test_binned_matches_exact_at_bin_centers(self):
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((128, 128)).astype(np.float32) * 255)
+        xy = jnp.asarray(rng.uniform(40, 90, (20, 2)).astype(np.float32))
+        # at exact bin-center angles the two formulations must agree
+        angs = jnp.asarray(np.arange(20) * (360.0 / brief.N_ANGLE_BINS) %
+                           360.0)
+        d1 = brief.compute_descriptors(img, jnp.round(xy), angs)
+        d2 = brief.compute_descriptors_exact(img, jnp.round(xy), angs)
+        dist = np.asarray(brief.hamming_distance(d1, d2))
+        assert np.diagonal(dist).max() == 0, np.diagonal(dist)
+
+    def test_binned_close_to_exact_generic_angles(self):
+        rng = np.random.default_rng(12)
+        # blurred image, as in real use (descriptors sample the blurred
+        # pyramid; on raw noise ANY sub-pixel rotation flips ~half the
+        # marginal comparisons, for the exact formulation too)
+        img = image.gaussian_blur(image.gaussian_blur(
+            jnp.asarray(rng.random((128, 128)).astype(np.float32) * 255)))
+        xy = jnp.asarray(rng.uniform(40, 90, (50, 2)).astype(np.float32))
+        angs = jnp.asarray(rng.uniform(0, 360, 50).astype(np.float32))
+        d1 = brief.compute_descriptors(img, jnp.round(xy), angs)
+        d2 = brief.compute_descriptors_exact(img, jnp.round(xy), angs)
+        dist = np.diagonal(np.asarray(brief.hamming_distance(d1, d2)))
+        # sub-bin rotation flips only a few low-margin pairs
+        assert np.median(dist) < 25, np.median(dist)
