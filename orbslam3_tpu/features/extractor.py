@@ -119,7 +119,8 @@ def extract(img: jnp.ndarray, p: OrbParams) -> FeatureFrame:
     selection border (>= 19 px) covers both patch radii.
     """
     img = img.astype(jnp.float32)
-    pyr, blurred = image.build_pyramid(img, p.n_levels, p.scale_factor)
+    with jax.named_scope("orb_pyramid"):
+        pyr, blurred = image.build_pyramid(img, p.n_levels, p.scale_factor)
     budgets = p.features_per_level()
     sf = p.scale_factors()
     w0 = pyr[0].shape[1]
@@ -131,7 +132,8 @@ def extract(img: jnp.ndarray, p: OrbParams) -> FeatureFrame:
             pyr[0].shape[0] * pyr[0].shape[1])
         cap = max(256, min(int(p.max_candidates * area_ratio),
                            pyr[lv].shape[0] * pyr[lv].shape[1]))
-        kxy, kresp, ok = _select_level(pyr[lv], budgets[lv], cap, p)
+        with jax.named_scope(f"orb_select_l{lv}"):
+            kxy, kresp, ok = _select_level(pyr[lv], budgets[lv], cap, p)
         xs_lv.append(kxy * sf[lv])  # level-0 coords for the output
         xs_atlas.append(kxy + jnp.asarray([0.0, row_off[lv]]))
         rs.append(kresp)
@@ -149,8 +151,10 @@ def extract(img: jnp.ndarray, p: OrbParams) -> FeatureFrame:
     # separate 2D slices for orientation (raw) and descriptors (blurred):
     # a fused channels-last (H, W, 2) slice measured SLOWER (C=2 breaks
     # the 128-lane tiling)
-    angle = orient.ic_angle(atlas, xy_atlas)
-    desc = brief.compute_descriptors(atlas_blur, xy_atlas, angle)
+    with jax.named_scope("orb_angle"):
+        angle = orient.ic_angle(atlas, xy_atlas)
+    with jax.named_scope("orb_brief"):
+        desc = brief.compute_descriptors(atlas_blur, xy_atlas, angle)
 
     return FeatureFrame(
         xy=jnp.concatenate(xs_lv), response=jnp.concatenate(rs),

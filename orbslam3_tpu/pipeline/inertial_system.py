@@ -54,6 +54,11 @@ class InertialConfig:
     max_factors: int = 256       # KF-to-KF preintegration capacity
     vi_window_factors: int = 12  # factors in the VI local BA window
     vi_ba_iters: int = 8
+    # PoseInertialOptimization in tracking: implemented (solver/
+    # vi_pose_opt.py); default off — on noise-free synthetic data the
+    # metric IMU edge fights residual map-scale error; enable on real
+    # sequences after the VIBA stages settle the scale
+    use_vi_pose_opt: bool = False
 
 
 class InertialSystem(base.System):
@@ -163,6 +168,35 @@ class InertialSystem(base.System):
 
         self._vi_local_ba = _vi_local_ba
 
+        @jax.jit
+        def _vi_pose_opt(m, kf_idx, f1, kp_pt, ff, Rwb0, pwb0, vel0, bias0):
+            """PoseInertialOptimizationLastKeyFrame parity
+            (reference src/Optimizer.cc:3447): refine the frame's 15-dof
+            state against its map-point matches + the preintegration edge
+            to the last keyframe."""
+            from ..solver import vi_pose_opt as vpo
+            P = m.pt_xyz.shape[0]
+            pt = jnp.clip(kp_pt, 0, P - 1)
+            X = m.pt_xyz[pt]
+            sf = jnp.asarray(cfg.orb.scale_factor **
+                             jnp.arange(cfg.orb.n_levels, dtype=jnp.float32))
+            inv_s2 = 1.0 / sf[jnp.clip(ff.octave, 0,
+                                       cfg.orb.n_levels - 1)] ** 2
+            valid = (kp_pt >= 0) & ff.valid
+            # last-KF body state
+            Rbw = self.Rbc @ m.kf_R[kf_idx]
+            tbw = self.Rbc @ m.kf_t[kf_idx] + self._tbc
+            Rwb_kf = Rbw.T
+            pwb_kf = -Rwb_kf @ tbw
+            return vpo.vi_pose_optimization(
+                Rwb0, pwb0, vel0, bias0,
+                Rwb_kf, pwb_kf, m.kf_vel[kf_idx], m.kf_bias[kf_idx],
+                f1, X, ff.xy, inv_s2, valid,
+                cfg.cam_model, self.cam_params,
+                self.Rcb, self.tcb, imu_ops.GRAVITY)
+
+        self._vi_pose_opt = _vi_pose_opt
+
     # ------------------------------------------------------------------ api
     def grab_imu(self, ts: float, gyro, acc):
         self.imu_queue.append((ts, np.asarray(gyro, np.float32),
@@ -226,6 +260,22 @@ class InertialSystem(base.System):
             self.has_velocity = True
             self.vel = v2
             self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
+            # visual-inertial frame refinement against the last KF
+            if self.icfg.use_vi_pose_opt:
+                f1 = self._since_kf_factor(ts)
+                if f1 is not None:
+                    Rb0, pb0 = self.last_body
+                    res = self._vi_pose_opt(
+                        self.map, jnp.asarray(self.last_kf_idx, jnp.int32),
+                        f1, tr.kp_pt, ff, Rb0, pb0, self.vel, self.bias)
+                    if int(res.n_inliers) >= 8:
+                        self.R_cur, self.t_cur = self._body_to_cam(
+                            res.Rwb, res.pwb)
+                        self.vel = res.vel
+                        # frame bias estimate is NOT fed back: the keyframe
+                        # bias stays authoritative (the reference carries
+                        # the frame bias only through the mpcpi prior)
+                        self.last_body = (res.Rwb, res.pwb)
             need_kf = (self.frame_id - self.last_kf_id >=
                        self.cfg.max_frames_between_kf) or \
                 (n_inl < self.cfg.kf_inlier_ratio *
@@ -292,6 +342,39 @@ class InertialSystem(base.System):
                 len(self.preints) >= self.icfg.init_min_kfs and \
                 ts - self.kf_time0 >= self.icfg.init_time_s:
             self._initialize_imu()
+        elif self.imu_initialized and not self.viba1_done and \
+                ts - self.kf_time0 >= self.icfg.refine_time_s:
+            # VIBA1 stage (reference InitializeIMU at ~5s with weaker
+            # priors): re-estimate scale/gravity on the longer baseline
+            # and re-anchor (reference src/LocalMapping.cc:192-266)
+            self._initialize_imu()
+            self.viba1_done = True
+
+    def _since_kf_factor(self, ts_now: float):
+        """Capacity-1 PreintFactor covering (last KF ts, now] from the
+        buffered samples (reference mpImuPreintegratedFromLastKF)."""
+        kf_ts = float(self.map.kf_ts[self.last_kf_idx])
+        take = [s for s in self.kf_imu_buffer if kf_ts < s[0] <= ts_now]
+        if len(take) < 2:
+            return None
+        cap = self.icfg.max_imu_per_frame * 16
+        n = min(len(take), cap)
+        acc = np.zeros((cap, 3), np.float32)
+        gyr = np.zeros((cap, 3), np.float32)
+        dts = np.zeros(cap, np.float32)
+        prev_t = kf_ts
+        for i, (st, g, a) in enumerate(take[:n]):
+            acc[i] = a
+            gyr[i] = g
+            dts[i] = max(st - prev_t, 0.0)
+            prev_t = st
+        if ts_now > prev_t:
+            dts[n - 1] += ts_now - prev_t
+        mask = np.arange(cap) < n
+        pre = self._preint(jnp.asarray(acc), jnp.asarray(gyr),
+                           jnp.asarray(dts), jnp.asarray(mask), self.bias)
+        return inertial_solver.stack_preints(
+            [pre], [self.last_kf_idx], [self.last_kf_idx + 1], capacity=1)
 
     def _window_factors(self):
         """Stack the preintegration factors touching the BA window."""
@@ -389,3 +472,10 @@ class InertialSystem(base.System):
                               pt_normal=nrm,
                               pt_min_dist=m.pt_min_dist * s,
                               pt_max_dist=m.pt_max_dist * s)
+        # transform the already-recorded frame trajectory into the new
+        # frame as well (the reference rewrites KF poses and the evaluator
+        # reads those; our per-frame trajectory must follow the re-anchor)
+        Rg_np = np.asarray(Rg)
+        self.trajectory = [
+            (ts_, Rg_np @ Rwc_, float(s) * (Rg_np @ twc_))
+            for ts_, Rwc_, twc_ in self.trajectory]
