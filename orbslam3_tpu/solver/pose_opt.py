@@ -50,7 +50,7 @@ def _reproj_residual_jac(cam_model, cam_params, R, t, X, uv):
 
 def pose_optimization(R0, t0, X, uv, inv_sigma2, valid,
                       cam_model: str, cam_params,
-                      rounds: int = 4, its_per_round: int = 10,
+                      rounds: int = 4, its_per_round: int = 6,
                       chi2_th: float = robust.CHI2_MONO,
                       min_depth: float = 1e-2) -> PoseOptResult:
     """Optimize Tcw against fixed world points.
