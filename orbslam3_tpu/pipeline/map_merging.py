@@ -1,0 +1,123 @@
+"""Cross-session map merging (multi-session Atlas).
+
+Parity target: upstream ORB-SLAM3's map-merge path (dead code in the
+fork): when place recognition in the CURRENT map hits a keyframe of an
+ARCHIVED map, compute the Sim3 between the two maps from matched map
+points (Sim3Solver), weld the current map into the old map's frame
+(Atlas merge + welding BA), and continue tracking in the merged map.
+
+Host orchestration over the batched kernels in geometry/sim3solver and
+slam_map/atlas; the welding BA is the standard local BA over the merged
+region on the next keyframe insertions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import sim3solver
+from ..ops import lie, matching
+from ..place import keyframe_db as kdb
+from ..slam_map import atlas as atlas_mod
+
+
+def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
+              min_inliers: int = 20) -> bool:
+    """Attempt to weld the current map into an archived session.
+
+    Called at keyframe insertion when archived sessions exist.  On
+    success the merged map replaces system.map (old session's frame is
+    authoritative) and the archived session is consumed.
+    """
+    lc = system.loop_closer
+    if lc is None or not system.atlas.sessions:
+        return False
+    bow, _ = lc._bow(ff.desc, ff.valid)
+
+    for si, sess in enumerate(system.atlas.sessions):
+        db = getattr(sess, "db", None)
+        if db is None:
+            continue
+        scores, common = kdb.query(db, bow)
+        cand = int(jnp.argmax(scores))
+        if float(scores[cand]) <= 0:
+            continue
+        cand_ff = sess.kf_features.get(cand)
+        cand_kp_pt = sess.kf_bindings.get(cand)
+        if cand_ff is None or cand_kp_pt is None:
+            continue
+        cur_kp_pt = system.kf_bindings.get(kf_idx)
+        mm = matching.match_nn(
+            ff.desc, cand_ff.desc,
+            mask=(cur_kp_pt >= 0)[:, None] & (cand_kp_pt >= 0)[None, :] &
+                 ff.valid[:, None] & cand_ff.valid[None, :],
+            max_dist=matching.TH_LOW, nn_ratio=0.75,
+            angles_a=ff.angle, angles_b=cand_ff.angle, check_rotation=True)
+        if int(jnp.sum(mm.valid)) < min_matches:
+            continue
+
+        m_old, m_cur = sess.map, system.map
+        P_old = m_old.pt_xyz.shape[0]
+        P_cur = m_cur.pt_xyz.shape[0]
+        j = jnp.maximum(mm.idx, 0)
+        pt_cur = jnp.clip(cur_kp_pt, 0, P_cur - 1)
+        pt_old = jnp.clip(cand_kp_pt[j], 0, P_old - 1)
+        res = sim3solver.solve_sim3(
+            m_old.pt_xyz[pt_old], m_cur.pt_xyz[pt_cur], mm.valid,
+            cand_ff.xy[j], ff.xy,
+            m_old.kf_R[cand], m_old.kf_t[cand],
+            m_cur.kf_R[kf_idx], m_cur.kf_t[kf_idx],
+            system.cfg.cam_model, system.cam_params,
+            jax.random.PRNGKey(1000 + kf_idx), min_inliers=min_inliers)
+        if not bool(res.success):
+            continue
+
+        # camera-frame Sim3 (cur cam -> old cam) to world Sim3
+        # (cur world -> old world):  S_w = T_oldcam->oldworld ∘ S ∘
+        # T_curworld->curcam
+        R1i, t1i, s1i = lie.sim3_inverse(
+            m_old.kf_R[cand], m_old.kf_t[cand], jnp.asarray(1.0))
+        Rw, tw, sw = lie.sim3_compose(R1i, t1i, s1i,
+                                      res.R12, res.t12, res.s12)
+        Rw, tw, sw = lie.sim3_compose(
+            Rw, tw, sw, m_cur.kf_R[kf_idx], m_cur.kf_t[kf_idx],
+            jnp.asarray(1.0))
+
+        merged, kf_off, pt_off = atlas_mod.merge_maps(
+            m_old, m_cur, Rw, tw, sw, system.cfg.map_capacity)
+        if merged is None:
+            return False
+
+        # swap in the merged map; remap host-side dictionaries
+        new_features = dict(sess.kf_features)
+        new_bindings = dict(sess.kf_bindings)
+        for k, v in system.kf_features.items():
+            new_features[k + kf_off] = v
+        for k, b in system.kf_bindings.items():
+            new_bindings[k + kf_off] = jnp.where(b >= 0, b + pt_off, -1)
+        system.map = merged
+        system.kf_features = new_features
+        system.kf_bindings = new_bindings
+        system.last_kf_idx = kf_idx + kf_off
+        # current camera pose: read from the merged (transformed) map
+        ki = system.last_kf_idx
+        system.R_cur = system.map.kf_R[ki]
+        system.t_cur = system.map.kf_t[ki]
+        system.R_prev, system.t_prev = system.R_cur, system.t_cur
+        system.has_velocity = False
+        # merge trajectories: archived first, then current transformed
+        Rw_np, sw_np = np.asarray(Rw), float(sw)
+        cur_traj = [(ts_, Rw_np @ Rwc_, sw_np * (Rw_np @ twc_) +
+                     np.asarray(tw))
+                    for ts_, Rwc_, twc_ in system.trajectory]
+        system.trajectory = list(sess.trajectory) + cur_traj
+        # rebuild the place-recognition DB over the merged keyframes
+        lc.db = kdb.KeyframeDB.create(system.cfg.map_capacity.n_kf,
+                                      lc.cfg.n_words)
+        for k, f in new_features.items():
+            lc.add_keyframe(system.map, k, f)
+        system.atlas.sessions.pop(si)
+        return True
+    return False

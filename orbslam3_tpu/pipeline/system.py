@@ -415,7 +415,12 @@ class System:
                 self.map = fusion.cull_keyframe(
                     self.map, jnp.asarray(int(reds[0]), jnp.int32))
         if self.loop_closer is not None:
-            self.loop_closer.try_close(self, ff, ki)
+            merged = False
+            if self.atlas.sessions:
+                from . import map_merging
+                merged = map_merging.try_merge(self, ff, ki)
+            if not merged:
+                self.loop_closer.try_close(self, ff, ki)
 
     # ----------------------------------------------------- loss / reloc
     def _handle_tracking_loss(self, ff) -> bool:
@@ -447,8 +452,17 @@ class System:
         (reference src/Tracking.cc:543-544, CreateMapInAtlas :771-805 —
         the old map is kept, a new one becomes current)."""
         self.n_resets += 1
+        db = None
+        if self.loop_closer is not None:
+            from ..place import keyframe_db as _kdb
+            db = self.loop_closer.db
+            self.loop_closer.db = _kdb.KeyframeDB.create(
+                self.cfg.map_capacity.n_kf, self.loop_closer.cfg.n_words)
+            self.loop_closer.consistent_count = 0
+            self.loop_closer.last_candidate = -1
         self.atlas.store_session(self.map, self.kf_features,
-                                 self.kf_bindings, self.trajectory)
+                                 self.kf_bindings, self.trajectory, db=db)
+        self.trajectory = []
         self.state = NO_IMAGES_YET
         self.map = mapstate.empty_map(self.cfg.map_capacity)
         self.ref_ff = None

@@ -31,6 +31,7 @@ class MapSession:
     kf_features: dict
     kf_bindings: dict
     trajectory: list
+    db: object = None   # archived place-recognition KeyframeDB
 
 
 @dataclasses.dataclass
@@ -38,12 +39,14 @@ class Atlas:
     capacity: mapstate.MapCapacity
     sessions: list = dataclasses.field(default_factory=list)
 
-    def store_session(self, m, kf_features, kf_bindings, trajectory):
+    def store_session(self, m, kf_features, kf_bindings, trajectory,
+                      db=None):
         """Archive the current map (reference CreateNewMap keeps old maps)."""
         if int(m.n_kf) >= 2:
             self.sessions.append(MapSession(
                 map=m, kf_features=dict(kf_features),
-                kf_bindings=dict(kf_bindings), trajectory=list(trajectory)))
+                kf_bindings=dict(kf_bindings), trajectory=list(trajectory),
+                db=db))
 
     @property
     def n_maps(self) -> int:
