@@ -36,7 +36,7 @@ class OrbParams:
     ini_th_fast: float = 20.0
     min_th_fast: float = 7.0
     border: int = 19          # upstream EDGE_THRESHOLD
-    max_candidates: int = 4096  # per-level FAST candidate cap (level 0)
+    max_candidates: int = 2048  # per-level FAST candidate cap (level 0)
 
     def features_per_level(self) -> list[int]:
         """Geometric budget (src/ORBextractor.cc:113-124)."""
@@ -88,7 +88,20 @@ def _select_level(img_lv, budget: int, cand_cap: int, p: OrbParams):
     h, w = img_lv.shape
     score = fast.detect(img_lv, p.min_th_fast, border=max(p.border, 3))
     flat = score.reshape(-1)
-    top_v, top_i = jax.lax.top_k(flat, cand_cap)
+    # blocked two-stage top-k: per-block top-8 instead of one full-image
+    # sort (FAST corners after NMS are sparse; 8 winners per ~cap/8-pixel
+    # strip loses nothing at a 3x candidate surplus, and the block cap is
+    # itself a spatial-uniformity prior like the quadtree's)
+    k_per = 8
+    n_blocks = max(cand_cap // k_per, 1)
+    pad = (-flat.shape[0]) % n_blocks
+    blocks = jnp.pad(flat, (0, pad), constant_values=0.0).reshape(
+        n_blocks, -1)
+    bv, bi = jax.lax.top_k(blocks, k_per)               # (B, k)
+    top_v = bv.reshape(-1)
+    top_i = (bi + jnp.arange(n_blocks)[:, None] *
+             blocks.shape[1]).reshape(-1)
+    top_i = jnp.minimum(top_i, flat.shape[0] - 1)
     ys = (top_i // w).astype(jnp.float32)
     xs = (top_i % w).astype(jnp.float32)
     xy = jnp.stack([xs, ys], axis=-1)
