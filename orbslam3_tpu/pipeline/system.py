@@ -328,6 +328,9 @@ class System:
         self.kf_bindings[int(k1)] = kp_pt1
         self.kf_features[int(k2)] = ff
         self.kf_bindings[int(k2)] = kp_pt2
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(m, int(k1), self.ref_ff)
+            self.loop_closer.add_keyframe(m, int(k2), ff)
         self.inliers_at_last_kf = int(jnp.sum((kp_pt2 >= 0)))
         # first trajectory entry for the ref frame
         self.trajectory.append(
@@ -345,9 +348,10 @@ class System:
             Rg, tg = self.R_cur, self.t_cur
 
         # search radius: tight with a warm motion model, wide right after
-        # initialization / relocalization (reference passes th=15 there,
-        # src/Tracking.cc TrackWithMotionModel / SearchByProjection callers)
-        radius = 4.0 if self.has_velocity else 15.0
+        # initialization / relocalization (the reference switches to
+        # windowless BoW matching there — TrackReferenceKeyFrame; a wide
+        # projection window is the masked-matmul equivalent)
+        radius = 4.0 if self.has_velocity else 30.0
         tr, self.map = self._track(self.map, ff, Rg, tg,
                                    jnp.asarray(radius, jnp.float32))
         n_inl = int(tr.n_inliers)
