@@ -50,7 +50,7 @@ def _reproj_residual_jac(cam_model, cam_params, R, t, X, uv):
 
 def pose_optimization(R0, t0, X, uv, inv_sigma2, valid,
                       cam_model: str, cam_params,
-                      rounds: int = 4, its_per_round: int = 6,
+                      rounds: int = 4, its_per_round: int = 3,
                       chi2_th: float = robust.CHI2_MONO,
                       min_depth: float = 1e-2) -> PoseOptResult:
     """Optimize Tcw against fixed world points.
@@ -68,11 +68,14 @@ def pose_optimization(R0, t0, X, uv, inv_sigma2, valid,
             w = jnp.where(use_robust,
                           robust.huber_weight(chi2, delta_huber), 1.0)
             w = w * inv_sigma2 * mask
-            # H = sum J^T w J, b = sum J^T w e  (e is obs - pred; GN solves
-            # H dx = -J^T W r with r = pred - obs = -e, so b = +J^T W e)
-            H = jnp.einsum("nik,n,nil->kl", J, w, J, precision=_HI)
-            b = -jnp.einsum("nik,n,ni->k", J, w, e, precision=_HI)
-            H = H + jnp.eye(6) * 1e-6
+            # One Gram contraction for the whole normal system: with
+            # G = [J | e]^T W [J | e] (7x7), H = G[:6,:6] and
+            # b = +J^T W e = -G[:6,6] sign-adjusted below  (e is obs -
+            # pred; GN solves H dx = -J^T W r with r = -e)
+            Je = jnp.concatenate([J, e[..., None]], axis=-1)  # (N, 2, 7)
+            G = jnp.einsum("nik,n,nil->kl", Je, w, Je, precision=_HI)
+            H = G[:6, :6] + jnp.eye(6) * 1e-6
+            b = -G[:6, 6]
             # unrolled Cholesky keeps the whole GN iteration fusable
             # (jnp.linalg.solve would add LU-kernel latency x40 iterations)
             dx = smallsolve.solve_psd(H, b)
