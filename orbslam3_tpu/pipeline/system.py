@@ -361,6 +361,9 @@ class System:
             self._reset()
             return
         self.lost_frames = 0
+        # successful track recovers from RECENTLY_LOST (the reference flips
+        # mState back to OK in Tracking::Track when matching succeeds again)
+        self.state = OK
         self.R_prev, self.t_prev = self.R_cur, self.t_cur
         self.R_cur, self.t_cur = tr.R, tr.t
         self.has_velocity = True

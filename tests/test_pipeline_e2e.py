@@ -103,3 +103,36 @@ class TestEndToEnd:
         n_pt = int(sys_.map.n_pt)
         assert n_kf >= 5, n_kf
         assert n_pt > 300, n_pt
+
+    def test_recovers_from_short_occlusion_without_reset(self):
+        """A brief total occlusion must route OK -> RECENTLY_LOST -> OK via
+        the wide-radius re-search (reference Tracking::Track flips mState
+        back to OK when matching succeeds again) — NOT park in
+        RECENTLY_LOST and NOT reset the map."""
+        world = SyntheticWorld(seed=21)
+        n = 60
+        poses = camera_path(n, speed=0.05)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=HW, min_init_matches=80,
+            max_frames_between_kf=6, ba_caps=(24, 4096, 16384))
+        sys_ = slam_system.System(cfg)
+        blank = FeatureFrame(
+            xy=jnp.zeros((N_KP, 2)), response=jnp.zeros(N_KP),
+            octave=jnp.zeros(N_KP, jnp.int32), angle=jnp.zeros(N_KP),
+            desc=jnp.zeros((N_KP, 8), jnp.uint32),
+            valid=jnp.zeros(N_KP, bool))
+        states = []
+        for i, (R_cw, t_cw, _) in enumerate(poses):
+            ff = blank if i in (30, 31) else world.frame(R_cw, t_cw)
+            state, _ = sys_.track_monocular(None, ts=i * 0.05, features=ff)
+            states.append(state)
+        assert sys_.n_resets == 0
+        assert slam_system.RECENTLY_LOST in states[30:34]
+        assert sys_.state == slam_system.OK, f"state={sys_.state}"
+        # trajectory resumes after the occlusion gap
+        assert len(sys_.trajectory) > (n - 4) * 0.8
+        est = np.stack([p[2] for p in sys_.trajectory])
+        ts_used = [p[0] for p in sys_.trajectory]
+        gt = np.stack([poses[int(round(t / 0.05))][2] for t in ts_used])
+        rmse, _, _, _ = align.ate_rmse(jnp.asarray(est), jnp.asarray(gt))
+        assert float(rmse) < 0.05, float(rmse)
