@@ -131,8 +131,13 @@ void worker(Ingest* ing) {
     if (decode_png_gray(ing->paths[idx].c_str(), &img, &w, &h)) {
       if (!ing->remap.empty()) {
         apply_remap(img, h, w, ing->remap, ing->out_h, ing->out_w, &f.data);
-      } else {
+      } else if (w == ing->out_w && h == ing->out_h) {
         f.data = std::move(img);
+      } else {
+        // decoded size != declared output size: treat as a failed frame
+        // (a larger image would otherwise overflow the caller's buffer)
+        ing->n_failed.fetch_add(1);
+        f.data.assign(static_cast<size_t>(ing->out_h) * ing->out_w, 0.0f);
       }
     } else {
       ing->n_failed.fetch_add(1);
@@ -184,7 +189,11 @@ int ingest_next(void* handle, float* out, int* out_index) {
   ing->next_to_emit++;
   ing->cv_space.notify_all();
   lk.unlock();
-  std::memcpy(out, f.data.data(), f.data.size() * sizeof(float));
+  // belt-and-braces: never copy more than the caller's declared buffer
+  const size_t cap = static_cast<size_t>(ing->out_h) * ing->out_w;
+  const size_t n = f.data.size() < cap ? f.data.size() : cap;
+  std::memcpy(out, f.data.data(), n * sizeof(float));
+  if (n < cap) std::memset(out + n, 0, (cap - n) * sizeof(float));
   *out_index = f.index;
   return 1;
 }

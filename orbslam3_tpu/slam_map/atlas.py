@@ -111,6 +111,7 @@ def merge_maps(m_old: mapstate.MapState, m_new: mapstate.MapState,
         obs_pt=splice(m.obs_pt, t.obs_pt + np_o, no_o, no_n),
         obs_uv=splice(m.obs_uv, t.obs_uv, no_o, no_n),
         obs_octave=splice(m.obs_octave, t.obs_octave, no_o, no_n),
+        obs_ur=splice(m.obs_ur, t.obs_ur, no_o, no_n),
         obs_valid=splice(m.obs_valid, t.obs_valid, no_o, no_n),
         n_kf=jnp.asarray(nk_o + nk_n, jnp.int32),
         n_pt=jnp.asarray(np_o + np_n, jnp.int32),

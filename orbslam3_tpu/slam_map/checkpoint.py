@@ -75,3 +75,9 @@ def load_system(path: str, system) -> None:
     system.R_cur = jnp.asarray(extras["R_cur"])
     system.t_cur = jnp.asarray(extras["t_cur"])
     system.last_kf_idx = int(system.map.n_kf) - 1
+    # rebuild the device feature bank from the restored dicts
+    system.bank = None
+    for k, f in system.kf_features.items():
+        b = system.kf_bindings.get(k)
+        if b is not None:
+            system._bank_store(k, f, b)

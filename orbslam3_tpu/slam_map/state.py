@@ -99,7 +99,13 @@ def empty_map(cap: MapCapacity) -> MapState:
 
 def add_keyframe(m: MapState, R, t, ts, frame_id, vel=None,
                  bias=None) -> tuple[MapState, jnp.ndarray]:
-    """Append a keyframe; returns (map, kf_index)."""
+    """Append a keyframe; returns (map, kf_index).
+
+    Capacity-guarded: at capacity the write is dropped (JAX OOB-scatter
+    semantics) and n_kf saturates at K, so no alias slot is ever handed
+    out twice.  Callers must still check n_kf < capacity before relying
+    on the returned index (System does, system.py)."""
+    K = m.kf_R.shape[0]
     i = m.n_kf
     m = m._replace(
         kf_R=m.kf_R.at[i].set(R),
@@ -109,7 +115,7 @@ def add_keyframe(m: MapState, R, t, ts, frame_id, vel=None,
         kf_vel=m.kf_vel.at[i].set(jnp.zeros(3) if vel is None else vel),
         kf_bias=m.kf_bias.at[i].set(jnp.zeros(6) if bias is None else bias),
         kf_valid=m.kf_valid.at[i].set(True),
-        n_kf=i + 1,
+        n_kf=jnp.minimum(i + 1, K),
     )
     return m, i
 
@@ -122,6 +128,7 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
     n_pt.  Returns (map, point_indices (B,) with -1 for invalid entries).
     """
     B = xyz.shape[0]
+    P = m.pt_xyz.shape[0]
     order = jnp.argsort(~new_valid)  # valid first, stable
     xyz, desc = xyz[order], desc[order]
     normal = normal[order]
@@ -130,8 +137,10 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
     n_new = jnp.sum(v.astype(jnp.int32))
     base = m.n_pt
     dst = base + jnp.arange(B, dtype=jnp.int32)
-    write = jnp.arange(B) < n_new
-    dst_c = jnp.where(write, dst, m.pt_xyz.shape[0] - 1)  # park writes at end
+    # capacity guard: entries past P are dropped (returned as -1) instead
+    # of silently aliasing the last slot (ADVICE r1: OOB scatter corruption)
+    write = (jnp.arange(B) < n_new) & (dst < P)
+    dst_c = jnp.where(write, dst, P - 1)  # park masked writes at end
 
     def wr(arr, vals):
         return arr.at[dst_c].set(jnp.where(write.reshape((B,) + (1,) * (vals.ndim - 1)),
@@ -148,7 +157,7 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
         pt_found=wr(m.pt_found, jnp.ones(B, jnp.int32)),
         pt_visible=wr(m.pt_visible, jnp.ones(B, jnp.int32)),
         pt_valid=wr(m.pt_valid, write),
-        n_pt=base + n_new,
+        n_pt=jnp.minimum(base + n_new, P),
     )
     # map back: entry j of the original chunk -> its destination or -1
     inv = jnp.argsort(order)
@@ -161,6 +170,7 @@ def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
     """Append a fixed-size chunk of observations (masked).  `ur`: stereo
     right-u per observation (-1/None = mono)."""
     B = pt_idx.shape[0]
+    O = m.obs_kf.shape[0]
     if ur is None:
         ur = jnp.full(B, -1.0, jnp.float32)
     v = valid & (pt_idx >= 0)
@@ -170,8 +180,9 @@ def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
     n_new = jnp.sum(v_s.astype(jnp.int32))
     base = m.n_obs
     dst = base + jnp.arange(B, dtype=jnp.int32)
-    write = jnp.arange(B) < n_new
-    dst_c = jnp.where(write, dst, m.obs_kf.shape[0] - 1)
+    # capacity guard (ADVICE r1): drop entries past O instead of aliasing
+    write = (jnp.arange(B) < n_new) & (dst < O)
+    dst_c = jnp.where(write, dst, O - 1)
 
     def wr(arr, vals):
         return arr.at[dst_c].set(jnp.where(write.reshape((B,) + (1,) * (vals.ndim - 1)),
@@ -184,7 +195,7 @@ def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
         obs_octave=wr(m.obs_octave, oct_s),
         obs_ur=wr(m.obs_ur, ur_s),
         obs_valid=wr(m.obs_valid, write),
-        n_obs=base + n_new,
+        n_obs=jnp.minimum(base + n_new, O),
     )
 
 
@@ -207,6 +218,59 @@ def covisibility_weights(m: MapState, kf_idx: jnp.ndarray) -> jnp.ndarray:
     w = (ov & seen_by_kf[jnp.clip(m.obs_pt, 0, P - 1)]).astype(jnp.int32)
     counts = jnp.zeros(K, jnp.int32).at[jnp.clip(m.obs_kf, 0, K - 1)].add(w)
     return counts.at[kf_idx].set(0)
+
+
+def compact(m: MapState) -> tuple[MapState, jnp.ndarray]:
+    """Reclaim point/observation slots freed by culling and fusion.
+
+    Stable-partitions valid points to the front and valid observations to
+    the front, remapping obs_pt through the point permutation.  Keyframe
+    slots are NOT moved (kf indices are referenced host-side by
+    kf_features/kf_bindings and preintegration factor chains).
+
+    Returns (compacted map, point_remap (P,) int32: old index -> new index
+    or -1 for dropped points) — the host applies point_remap to its
+    per-KF binding arrays.
+    """
+    P = m.pt_xyz.shape[0]
+    O = m.obs_kf.shape[0]
+    # ---- points
+    order = jnp.argsort(~m.pt_valid)          # valid first, stable
+    n_valid = jnp.sum(m.pt_valid.astype(jnp.int32))
+    kept = jnp.arange(P) < n_valid
+    remap = jnp.full(P, -1, jnp.int32).at[order].set(
+        jnp.where(kept, jnp.arange(P, dtype=jnp.int32), -1))
+
+    def pg(arr):
+        return jnp.where(kept.reshape((P,) + (1,) * (arr.ndim - 1)),
+                         arr[order], jnp.zeros_like(arr[order]))
+
+    # ---- observations: drop ones whose point died, remap the rest
+    new_pt = remap[jnp.clip(m.obs_pt, 0, P - 1)]
+    ov = m.obs_valid & (m.obs_pt >= 0) & (new_pt >= 0)
+    oorder = jnp.argsort(~ov)
+    n_ov = jnp.sum(ov.astype(jnp.int32))
+    okept = jnp.arange(O) < n_ov
+
+    def og(arr, fill):
+        out = jnp.where(okept.reshape((O,) + (1,) * (arr.ndim - 1)),
+                        arr[oorder], fill)
+        return out
+
+    return m._replace(
+        pt_xyz=pg(m.pt_xyz), pt_desc=pg(m.pt_desc),
+        pt_normal=pg(m.pt_normal),
+        pt_min_dist=pg(m.pt_min_dist), pt_max_dist=pg(m.pt_max_dist),
+        pt_ref_kf=jnp.where(kept, m.pt_ref_kf[order], -1),
+        pt_found=pg(m.pt_found), pt_visible=pg(m.pt_visible),
+        pt_first_frame=jnp.where(kept, m.pt_first_frame[order], -1),
+        pt_valid=kept & m.pt_valid[order],
+        obs_kf=og(m.obs_kf, -1), obs_pt=og(new_pt, -1),
+        obs_uv=og(m.obs_uv, 0.0), obs_octave=og(m.obs_octave, 0),
+        obs_ur=og(m.obs_ur, -1.0),
+        obs_valid=okept,
+        n_pt=n_valid, n_obs=n_ov,
+    ), remap
 
 
 def cull_points(m: MapState, current_frame_id, min_found_ratio: float = 0.25,
