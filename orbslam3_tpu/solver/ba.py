@@ -11,17 +11,22 @@ TPU design (SURVEY §7.1): observations are a fixed-capacity COO list
 (cam_idx, pt_idx, uv, inv_sigma2, valid).  Per LM iteration:
   1. residuals/Jacobians for all observations in one batch;
   2. point blocks H_pp (3x3) inverted in closed form;
-  3. reduced camera system assembled as ONE matmul over a dense
-     camera-point interaction tensor C (K, P, 6, 3):
-        S = H_cc_diag - C @ C^T  (contracting P*3),
-     which rides the MXU instead of sparse scatter-gather;
-  4. dense Cholesky solve of the (6K, 6K) reduced system;
+  3. the reduced camera system S = H_cc - C H_pp^-1 C^T is NEVER
+     materialized: the camera-point coupling stays as per-observation
+     (6,3) blocks and S is applied matrix-free (gather -> 6x3 block ops
+     -> segment-sum), so memory/compute are O(observations) instead of
+     O(K^2 P) — this is what lets full-map GBA/FIBA run at capacity and
+     what the distributed backend shards (every reduction is a psum);
+  4. preconditioned CG on the reduced system with the EXACT block-Jacobi
+     preconditioner (the S diagonal is a per-observation segment-sum);
+     LM's accept/reject makes the inexact solve safe (inexact LM);
   5. point back-substitution, batched.
 Fixed cameras are handled by zeroing their Jacobians (their blocks stay
 identity).  LM acceptance is branch-free (jnp.where on the carried state).
 
-This module is the single-device core; orbslam3_tpu/parallel shards the
-same assembly over a device mesh (points partitioned, psum on S).
+This module is the single-device core; orbslam3_tpu/parallel runs the
+same assembly under shard_map (points+observations partitioned,
+`reduce=psum` on every K-sized contraction).
 """
 
 from __future__ import annotations
@@ -59,6 +64,11 @@ class BAProblem(NamedTuple):
     obs_inv_sigma2: jnp.ndarray  # (O,)
     obs_valid: jnp.ndarray   # (O,) bool
     obs_ur: jnp.ndarray = None   # (O,) stereo right-u; -1/None = mono
+    # optional per-camera position priors (GNSS-constrained BA — the
+    # fork's LocalGNSSBundleAdjustment edges, reference
+    # src/Optimizer.cc:1362-1604, realized as unary camera-center priors)
+    prior_pos: jnp.ndarray = None  # (K,3) prior camera center (world)
+    prior_w: jnp.ndarray = None    # (K,) information 1/sigma^2; 0 = none
 
 
 class BAResult(NamedTuple):
@@ -154,19 +164,30 @@ def _build_normal_eq(prob: BAProblem, R, t, X, cam_model, cam_params,
         jnp.einsum("nik,nil->nkl", wJc, Jc, precision=_HI))
     bc = jnp.zeros((K, 6)).at[prob.obs_cam].add(
         -jnp.einsum("nik,ni->nk", wJc, e, precision=_HI))
+    if prob.prior_pos is not None and prob.prior_w is not None:
+        # camera-center prior r = O_k - prior; O = -R^T t, dO/ddt = -R^T
+        # (left-mult update), dO/ddtheta = 0 to first order
+        w_pr = prob.prior_w * (~prob.cam_fixed).astype(jnp.float32) * \
+            prob.cam_valid.astype(jnp.float32)
+        Ow = -jnp.einsum("kji,kj->ki", R, t, precision=_HI)
+        r_pr = Ow - prob.prior_pos
+        Hcc = Hcc.at[:, 3:6, 3:6].add(w_pr[:, None, None] * jnp.eye(3)[None])
+        bc = bc.at[:, 3:6].add(
+            w_pr[:, None] * jnp.einsum("kij,kj->ki", R, r_pr, precision=_HI))
     # point blocks and gradient
     wJp = Jp * w[:, None, None]
     Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
         jnp.einsum("nik,nil->nkl", wJp, Jp, precision=_HI))
     bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
         -jnp.einsum("nik,ni->nk", wJp, e, precision=_HI))
-    # camera-point coupling, densified: Ccp[cam, pt] = J_c^T W J_p (6,3)
-    Ccp = jnp.zeros((K, P, 6, 3)).at[prob.obs_cam, prob.obs_pt].add(
-        jnp.einsum("nik,nil->nkl", wJc, Jp, precision=_HI))
+    # camera-point coupling kept PER OBSERVATION: Cobs[n] = J_c^T W J_p
+    # (6,3) — the sparse C is applied via gathers/segment-sums, never
+    # densified to (K,P,6,3)
+    Cobs = jnp.einsum("nik,nil->nkl", wJc, Jp, precision=_HI)
     cost = jnp.sum(jnp.where(use_robust,
                              _huber_cost(chi2, chi2_th ** 0.5), chi2) *
                    m.astype(jnp.float32))
-    return Hcc, bc, Hpp, bp, Ccp, cost, chi2, m
+    return Hcc, bc, Hpp, bp, Cobs, cost, chi2, m
 
 
 def _huber_cost(chi2, delta):
@@ -181,11 +202,32 @@ def _cost_only(prob: BAProblem, R, t, X, cam_model, cam_params,
     m = (prob.obs_valid & prob.pt_valid[prob.obs_pt] &
          prob.cam_valid[prob.obs_cam]).astype(jnp.float32)
     c = _huber_cost(chi2, chi2_th ** 0.5) if use_robust else chi2
-    return jnp.sum(c * m)
+    total = jnp.sum(c * m)
+    if prob.prior_pos is not None and prob.prior_w is not None:
+        w_pr = prob.prior_w * (~prob.cam_fixed).astype(jnp.float32) * \
+            prob.cam_valid.astype(jnp.float32)
+        Ow = -jnp.einsum("kji,kj->ki", R, t, precision=_HI)
+        total = total + jnp.sum(w_pr * jnp.sum(
+            (Ow - prob.prior_pos) ** 2, axis=-1))
+    return total
 
 
-def _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam, cam_fixed, pt_valid):
-    """One LM step: returns (dx_cam (K,6), dx_pt (P,3))."""
+def _identity_reduce(x):
+    return x
+
+
+def _solve_schur(Hcc, bc, Hpp, bp, Cobs, obs_cam, obs_pt, lam,
+                 cam_fixed, pt_valid, pcg_iters: int = 32,
+                 reduce=_identity_reduce):
+    """One LM step, matrix-free: returns (dx_cam (K,6), dx_pt (P,3)).
+
+    The reduced camera system S x = rhs is solved by PCG with the exact
+    block-Jacobi preconditioner; S is applied through the per-observation
+    coupling blocks (gather -> 6x3 ops -> segment-sum).  `reduce` wraps
+    every K-sized contraction (identity single-device; lax.psum under
+    shard_map when points/observations are sharded — Hcc/bc must then be
+    passed in already-reduced form and Cobs/bp/Hpp shard-local).
+    """
     P = Hpp.shape[0]
     K = Hcc.shape[0]
     # additive LM damping on both blocks (g2o: H + lambda I)
@@ -196,26 +238,63 @@ def _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam, cam_fixed, pt_valid):
     Hpp_d = Hpp_d * pt_on + jnp.eye(3)[None] * (1 - pt_on)
     Hpp_inv = _spd_inv3(Hpp_d)
 
-    # S = Hcc_d - sum_p Ccp Hpp_inv Ccp^T ; rhs = bc - sum_p Ccp Hpp_inv bp
-    CW = jnp.einsum("kpij,pjl->kpil", Ccp, Hpp_inv, precision=_HI)  # (K,P,6,3)
-    S_off = jnp.einsum("kpil,qpml->kqim", CW, Ccp, precision=_HI)   # (K,K,6,6)
-    rhs = bc - jnp.einsum("kpil,pl->ki", CW, bp, precision=_HI)
-
-    S = -S_off
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
-    # fixed cameras: identity rows/cols, zero rhs
     free = (~cam_fixed).astype(jnp.float32)
-    ff = free[:, None] * free[None, :]
-    S = S * ff[:, :, None, None]
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        jnp.eye(6)[None] * (1 - free)[:, None, None])
-    rhs = rhs * free[:, None]
 
-    Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    dx_cam = jnp.linalg.solve(Sd, rhs.reshape(K * 6)).reshape(K, 6)
-    # back-substitute points: dx_p = Hpp_inv (bp - Ccp^T dx_cam)
-    delta_p = bp - jnp.einsum("kpil,ki->pl", Ccp, dx_cam, precision=_HI)
-    dx_pt = jnp.einsum("pij,pj->pi", Hpp_inv, delta_p, precision=_HI)
+    # W_n = Cobs_n Hpp_inv[pt_n]  (6,3) per observation
+    CW = jnp.einsum("nij,njl->nil", Cobs, Hpp_inv[obs_pt], precision=_HI)
+
+    def S_matvec(x):
+        """(K,6) -> (K,6): Hcc_d x - C Hpp_inv C^T x, fixed cams identity."""
+        xm = x * free[:, None]
+        u = jnp.einsum("nij,ni->nj", Cobs, xm[obs_cam], precision=_HI)
+        s = jnp.zeros((P, 3)).at[obs_pt].add(u)
+        v = jnp.einsum("nil,nl->ni", CW, s[obs_pt], precision=_HI)
+        y = jnp.einsum("kij,kj->ki", Hcc_d, xm, precision=_HI)
+        y = y - reduce(jnp.zeros((K, 6)).at[obs_cam].add(v))
+        return y * free[:, None] + x * (1 - free)[:, None]
+
+    # rhs = bc - C Hpp_inv bp
+    rv = jnp.einsum("nil,nl->ni", CW, bp[obs_pt], precision=_HI)
+    rhs = (bc - reduce(jnp.zeros((K, 6)).at[obs_cam].add(rv))) * \
+        free[:, None]
+
+    # exact block-diagonal of S: D_k = Hcc_d[k] - sum_{n:cam=k} CW_n C_n^T
+    Dn = jnp.einsum("nil,nml->nim", CW, Cobs, precision=_HI)
+    D = Hcc_d - reduce(jnp.zeros((K, 6, 6)).at[obs_cam].add(Dn))
+    D = D * free[:, None, None] + jnp.eye(6)[None] * (1 - free)[:, None, None]
+    D = D + jnp.eye(6)[None] * 1e-8
+    D_inv = jnp.linalg.inv(D)
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", D_inv, r, precision=_HI)
+
+    # PCG (fixed iteration count — branch-free, inexact-LM safe)
+    x0 = jnp.zeros((K, 6))
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+
+    def pcg_step(carry, _):
+        x, r, z, p = carry
+        Ap = S_matvec(p)
+        rz = jnp.sum(r * z)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        x2 = x + alpha * p
+        r2 = r - alpha * Ap
+        z2 = precond(r2)
+        beta = jnp.sum(r2 * z2) / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p2 = z2 + beta * p
+        return (x2, r2, z2, p2), None
+
+    (dx_cam, _, _, _), _ = jax.lax.scan(
+        pcg_step, (x0, r0, z0, p0), None, length=pcg_iters)
+    dx_cam = dx_cam * free[:, None]
+
+    # back-substitute points: dx_p = Hpp_inv (bp - C^T dx_cam)
+    u = jnp.einsum("nij,ni->nj", Cobs, dx_cam[obs_cam], precision=_HI)
+    s = jnp.zeros((P, 3)).at[obs_pt].add(u)
+    dx_pt = jnp.einsum("pij,pj->pi", Hpp_inv, bp - s, precision=_HI)
     dx_pt = dx_pt * pt_valid.astype(jnp.float32)[:, None]
     return dx_cam, dx_pt
 
@@ -224,17 +303,20 @@ def bundle_adjust(prob: BAProblem, cam_model: str, cam_params,
                   iterations: int = 10, lam0: float = 1e-5,
                   chi2_th: float = robust.CHI2_MONO,
                   use_robust: bool = True,
-                  stereo_bf: float = 0.0) -> BAResult:
+                  stereo_bf: float = 0.0,
+                  pcg_iters: int = 32) -> BAResult:
     """LM loop with branch-free accept/reject (reference uses g2o LM;
     iteration counts per call site: 20 init GBA, 10 local, 25 inertial)."""
 
     def step(carry, _):
         R, t, X, lam, cost = carry
-        Hcc, bc, Hpp, bp, Ccp, cur_cost, _, _ = _build_normal_eq(
+        Hcc, bc, Hpp, bp, Cobs, cur_cost, _, _ = _build_normal_eq(
             prob, R, t, X, cam_model, cam_params, chi2_th, use_robust,
             stereo_bf)
-        dx_cam, dx_pt = _solve_schur(Hcc, bc, Hpp, bp, Ccp, lam,
-                                     prob.cam_fixed, prob.pt_valid)
+        dx_cam, dx_pt = _solve_schur(Hcc, bc, Hpp, bp, Cobs,
+                                     prob.obs_cam, prob.obs_pt, lam,
+                                     prob.cam_fixed, prob.pt_valid,
+                                     pcg_iters=pcg_iters)
         dR, dt = lie.se3_exp(dx_cam)
         R_new, t_new = lie.se3_compose(dR, dt, R, t)
         R_new = lie.normalize_rotation(R_new)

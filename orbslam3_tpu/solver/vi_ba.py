@@ -13,9 +13,11 @@ Parity targets (reference src/Optimizer.cc):
 
 TPU design: per-edge Jacobians by forward-mode AD around a zero local
 update (right-multiplicative on rotation, additive elsewhere), batched
-over edges; the reduced 15K x 15K camera system is assembled densely
-(inertial edges couple only consecutive states) and solved with one
-Cholesky; points are Schur-marginalized exactly as in solver/ba.py.
+over edges; the reduced 15K x 15K camera system is applied MATRIX-FREE
+(per-observation coupling blocks + per-factor pair blocks, segment-sums)
+and solved by PCG with the exact block-Jacobi preconditioner, exactly as
+in solver/ba.py — no (K,P) or (K,K) dense tensors, so full-map
+FullInertialBA runs at capacity.
 
 Body/camera convention: body pose (Rwb, pwb); camera extrinsic Tcb
 (camera <- body) fixed; world point X projects via
@@ -180,69 +182,117 @@ def vi_bundle_adjust(prob: VIProblem, cam_model: str, cam_params,
             jnp.einsum("nik,nil->nkl", wJp, Jp, precision=_HI))
         bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
             -jnp.einsum("nik,ni->nk", wJp, e, precision=_HI))
-        Ccp = jnp.zeros((K, P, STATE_DIM, 3)).at[
-            prob.obs_cam, prob.obs_pt].add(
-            jnp.einsum("nik,nil->nkl", wJc, Jp, precision=_HI))
+        # camera-point coupling kept per observation (no (K,P) tensor)
+        Cobs = jnp.einsum("nik,nil->nkl", wJc, Jp, precision=_HI)  # (O,15,3)
 
-        # inertial terms -> dense (K,K) block additions
+        # inertial terms (per-factor pair blocks, applied in the matvec)
         r_in, Ji, Jj, W, w_edge, rb, Wb = _inertial_terms(
             prob, Rwb, pwb, vel, bias)
-        WJi = jnp.einsum("fab,fbk->fak", W, Ji, precision=_HI)
-        WJj = jnp.einsum("fab,fbk->fak", W, Jj, precision=_HI)
-        we = w_edge[:, None, None]
-        S_add = jnp.zeros((K, K, STATE_DIM, STATE_DIM))
-        S_add = S_add.at[f.kf_i, f.kf_i].add(
-            we * jnp.einsum("fak,fal->fkl", Ji, WJi, precision=_HI))
-        S_add = S_add.at[f.kf_j, f.kf_j].add(
-            we * jnp.einsum("fak,fal->fkl", Jj, WJj, precision=_HI))
-        S_add = S_add.at[f.kf_i, f.kf_j].add(
-            we * jnp.einsum("fak,fal->fkl", Ji, WJj, precision=_HI))
-        S_add = S_add.at[f.kf_j, f.kf_i].add(
-            we * jnp.einsum("fak,fal->fkl", Jj, WJi, precision=_HI))
+        Wr = jnp.einsum("fab,fb->fa", W, r_in, precision=_HI)
         bc = bc.at[f.kf_i].add(
-            -w_edge[:, None] * jnp.einsum("fak,fa->fk", Ji,
-                                          jnp.einsum("fab,fb->fa", W, r_in,
-                                                     precision=_HI),
+            -w_edge[:, None] * jnp.einsum("fak,fa->fk", Ji, Wr,
                                           precision=_HI))
         bc = bc.at[f.kf_j].add(
-            -w_edge[:, None] * jnp.einsum("fak,fa->fk", Jj,
-                                          jnp.einsum("fab,fb->fa", W, r_in,
-                                                     precision=_HI),
+            -w_edge[:, None] * jnp.einsum("fak,fa->fk", Jj, Wr,
                                           precision=_HI))
         # bias RW edges: d rb / d bias_i = -I, / d bias_j = +I on dims 9:15
-        wb = w_edge[:, None, None]
         Wrb = jnp.einsum("fab,fb->fa", Wb, rb, precision=_HI)
-        S_add = S_add.at[f.kf_i, f.kf_i, 9:15, 9:15].add(wb * Wb)
-        S_add = S_add.at[f.kf_j, f.kf_j, 9:15, 9:15].add(wb * Wb)
-        S_add = S_add.at[f.kf_i, f.kf_j, 9:15, 9:15].add(-wb * Wb)
-        S_add = S_add.at[f.kf_j, f.kf_i, 9:15, 9:15].add(-wb * Wb)
         bc = bc.at[f.kf_i, 9:15].add(w_edge[:, None] * Wrb)
         bc = bc.at[f.kf_j, 9:15].add(-w_edge[:, None] * Wrb)
         if bias_prior > 0:
             Hcc = Hcc.at[:, 9:15, 9:15].add(jnp.eye(6)[None] * bias_prior)
             bc = bc.at[:, 9:15].add(-bias_prior * bias)
 
-        # Schur complement over points
+        # ---- matrix-free reduced system (mirrors solver/ba._solve_schur)
+        free = (~prob.cam_fixed).astype(jnp.float32)
+        gi = free[f.kf_i] * w_edge
+        gj = free[f.kf_j] * w_edge
         Hcc_d = Hcc + lam * jnp.eye(STATE_DIM)[None]
         Hpp_d = Hpp + lam * jnp.eye(3)[None]
         pt_on = prob.pt_valid.astype(jnp.float32)[:, None, None]
         Hpp_d = Hpp_d * pt_on + jnp.eye(3)[None] * (1 - pt_on)
         Hpp_inv = _spd_inv3(Hpp_d)
-        CW = jnp.einsum("kpij,pjl->kpil", Ccp, Hpp_inv, precision=_HI)
-        S_off = jnp.einsum("kpil,qpml->kqim", CW, Ccp, precision=_HI)
-        rhs = bc - jnp.einsum("kpil,pl->ki", CW, bp, precision=_HI)
-        S = S_add - S_off
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
-        free = (~prob.cam_fixed).astype(jnp.float32)
-        ffm = free[:, None] * free[None, :]
-        S = S * ffm[:, :, None, None]
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(
-            jnp.eye(STATE_DIM)[None] * (1 - free)[:, None, None])
-        rhs = rhs * free[:, None]
-        Sd = S.transpose(0, 2, 1, 3).reshape(K * STATE_DIM, K * STATE_DIM)
-        dx_cam = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(K, STATE_DIM)
-        delta_p = bp - jnp.einsum("kpil,ki->pl", Ccp, dx_cam, precision=_HI)
-        dx_pt = jnp.einsum("pij,pj->pi", Hpp_inv, delta_p, precision=_HI)
+        CW = jnp.einsum("nij,njl->nil", Cobs, Hpp_inv[prob.obs_pt],
+                        precision=_HI)
+
+        def S_matvec(x):
+            xm = x * free[:, None]
+            y = jnp.einsum("kij,kj->ki", Hcc_d, xm, precision=_HI)
+            # visual Schur term
+            u = jnp.einsum("nij,ni->nj", Cobs, xm[prob.obs_cam],
+                           precision=_HI)
+            s = jnp.zeros((P, 3)).at[prob.obs_pt].add(u)
+            v = jnp.einsum("nil,nl->ni", CW, s[prob.obs_pt], precision=_HI)
+            y = y - jnp.zeros((K, STATE_DIM)).at[prob.obs_cam].add(v)
+            # inertial pair blocks
+            ai = jnp.einsum("fak,fk->fa", Ji, xm[f.kf_i], precision=_HI)
+            aj = jnp.einsum("fak,fk->fa", Jj, xm[f.kf_j], precision=_HI)
+            tw = jnp.einsum("fab,fb->fa", W, ai + aj,
+                            precision=_HI) * w_edge[:, None]
+            y = y.at[f.kf_i].add(
+                jnp.einsum("fak,fa->fk", Ji, tw, precision=_HI))
+            y = y.at[f.kf_j].add(
+                jnp.einsum("fak,fa->fk", Jj, tw, precision=_HI))
+            # bias random walk pair blocks
+            db = (xm[f.kf_j, 9:15] * gj[:, None] -
+                  xm[f.kf_i, 9:15] * gi[:, None])
+            tb = jnp.einsum("fab,fb->fa", Wb, db,
+                            precision=_HI) * w_edge[:, None]
+            y = y.at[f.kf_i, 9:15].add(-tb * gi[:, None])
+            y = y.at[f.kf_j, 9:15].add(tb * gj[:, None])
+            return y * free[:, None] + x * (1 - free)[:, None]
+
+        # rhs = bc - C Hpp_inv bp
+        rv = jnp.einsum("nil,nl->ni", CW, bp[prob.obs_pt], precision=_HI)
+        rhs = (bc - jnp.zeros((K, STATE_DIM)).at[prob.obs_cam].add(rv)) * \
+            free[:, None]
+
+        # exact block-diagonal preconditioner
+        D = Hcc_d - jnp.zeros((K, STATE_DIM, STATE_DIM)).at[
+            prob.obs_cam].add(
+            jnp.einsum("nil,nml->nim", CW, Cobs, precision=_HI))
+        WJi = jnp.einsum("fab,fbk->fak", W, Ji, precision=_HI)
+        WJj = jnp.einsum("fab,fbk->fak", W, Jj, precision=_HI)
+        we = w_edge[:, None, None]
+        D = D.at[f.kf_i].add(
+            we * jnp.einsum("fak,fal->fkl", Ji, WJi, precision=_HI))
+        D = D.at[f.kf_j].add(
+            we * jnp.einsum("fak,fal->fkl", Jj, WJj, precision=_HI))
+        D = D.at[f.kf_i, 9:15, 9:15].add(we * Wb * gi[:, None, None])
+        D = D.at[f.kf_j, 9:15, 9:15].add(we * Wb * gj[:, None, None])
+        D = D * free[:, None, None] + \
+            jnp.eye(STATE_DIM)[None] * (1 - free)[:, None, None]
+        D = D + jnp.eye(STATE_DIM)[None] * 1e-8
+        D_inv = jnp.linalg.inv(D)
+
+        def precond(r):
+            return jnp.einsum("kij,kj->ki", D_inv, r, precision=_HI)
+
+        x0 = jnp.zeros((K, STATE_DIM))
+        r0 = rhs
+        z0 = precond(r0)
+
+        def pcg_step(carry, _):
+            x, r, z, p = carry
+            Ap = S_matvec(p)
+            rz = jnp.sum(r * z)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x2 = x + alpha * p
+            r2 = r - alpha * Ap
+            z2 = precond(r2)
+            beta = jnp.sum(r2 * z2) / jnp.where(jnp.abs(rz) < 1e-20,
+                                                1e-20, rz)
+            return (x2, r2, z2, z2 + beta * p), None
+
+        (dx_cam, _, _, _), _ = jax.lax.scan(
+            pcg_step, (x0, r0, z0, z0), None, length=48)
+        dx_cam = dx_cam * free[:, None]
+
+        u = jnp.einsum("nij,ni->nj", Cobs, dx_cam[prob.obs_cam],
+                       precision=_HI)
+        s = jnp.zeros((P, 3)).at[prob.obs_pt].add(u)
+        dx_pt = jnp.einsum("pij,pj->pi", Hpp_inv, bp - s, precision=_HI)
         dx_pt = dx_pt * prob.pt_valid.astype(jnp.float32)[:, None]
         return dx_cam, dx_pt
 
