@@ -54,11 +54,15 @@ class InertialConfig:
     max_factors: int = 256       # KF-to-KF preintegration capacity
     vi_window_factors: int = 12  # factors in the VI local BA window
     vi_ba_iters: int = 8
-    # PoseInertialOptimization in tracking: implemented (solver/
-    # vi_pose_opt.py); default off — on noise-free synthetic data the
-    # metric IMU edge fights residual map-scale error; enable on real
-    # sequences after the VIBA stages settle the scale
-    use_vi_pose_opt: bool = False
+    # Full-map FullInertialBA after the inertial-only init / VIBA1 stages
+    # (reference bFIBA, src/LocalMapping.cc:1201-1210)
+    fiba: bool = True
+    fiba_iters: int = 12
+    fiba_cams: int = 64          # KF capacity of the full-map FIBA gather
+    # Per-frame visual-inertial pose optimization in the tracker
+    # (PoseInertialOptimizationLastFrame/LastKeyFrame with the
+    # marginalized ConstraintPoseImu prior chain)
+    use_vi_pose_opt: bool = True
 
 
 class InertialSystem(base.System):
@@ -93,7 +97,14 @@ class InertialSystem(base.System):
         self.last_body = None            # (Rwb, pwb) of previous frame
         self.preints: list = []          # per KF-interval Preintegrated
         self.preint_kf_pairs: list[tuple[int, int]] = []
+        # raw (acc, gyr, dts) numpy per factor — kept for Reintegrate-on-
+        # bias-change and MergePrevious-on-culling (reference
+        # src/ImuTypes.cc:170,239 keep mvMeasurements for the same reason)
+        self.preint_raw: list = []
         self.kf_time0 = None
+        # frame-to-frame VIO prior chain (ConstraintPoseImu / mpcpi)
+        self.frame_prior = None
+        self._map_updated = True
         self._build_inertial_jits()
 
     def _build_inertial_jits(self):
@@ -107,66 +118,79 @@ class InertialSystem(base.System):
         cfg = self.cfg
         icfg = self.icfg
 
-        @jax.jit
-        def _vi_local_ba(m, center_kf, f: inertial_solver.PreintFactor):
-            """LocalInertialBA parity (reference src/Optimizer.cc:2448):
-            visual window + inertial chain over the temporal window,
-            25-iteration class LM with lambda0=1e0 semantics realized by
-            the VI-BA's own damping schedule."""
-            cams, pts, obs = cfg.ba_caps
-            prob_v, cam_sel, cam_ok, pt_sel, pt_ok = \
-                mapping.gather_window_problem(
-                    m, center_kf, cfg.local_ba_window, cfg.orb.n_levels,
-                    cfg.orb.scale_factor, cap_cams=cams, cap_pts=pts,
-                    cap_obs=obs)
-            K = m.kf_R.shape[0]
-            cam_inv = jnp.full(K, -1, jnp.int32).at[
-                jnp.where(cam_ok, cam_sel, K)].set(
-                jnp.arange(cam_sel.shape[0], dtype=jnp.int32), mode="drop")
-            # remap factors into the compacted camera indexing
-            fi = cam_inv[jnp.clip(f.kf_i, 0, K - 1)]
-            fj = cam_inv[jnp.clip(f.kf_j, 0, K - 1)]
-            f2 = f._replace(
-                kf_i=jnp.maximum(fi, 0), kf_j=jnp.maximum(fj, 0),
-                valid=f.valid & (fi >= 0) & (fj >= 0))
-            # body states of the selected cameras
-            Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, prob_v.R)
-            tbw = jnp.einsum("ij,kj->ki", self.Rbc, prob_v.t) + self._tbc
-            Rwb = jnp.swapaxes(Rbw, 1, 2)
-            pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
-            prob = vi_ba_solver.VIProblem(
-                Rwb=Rwb, pwb=pwb,
-                vel=m.kf_vel[cam_sel], bias=m.kf_bias[cam_sel],
-                cam_fixed=prob_v.cam_fixed, cam_valid=prob_v.cam_valid,
-                X=prob_v.X, pt_valid=prob_v.pt_valid,
-                obs_cam=prob_v.obs_cam, obs_pt=prob_v.obs_pt,
-                obs_uv=prob_v.obs_uv,
-                obs_inv_sigma2=prob_v.obs_inv_sigma2,
-                obs_valid=prob_v.obs_valid,
-                factors=f2, gravity=imu_ops.GRAVITY,
-                Rcb=self.Rcb, tcb=self.tcb)
-            res = vi_ba_solver.vi_bundle_adjust(
-                prob, cfg.cam_model, self.cam_params,
-                iterations=icfg.vi_ba_iters, lam0=1.0)
-            # convert optimized body poses back to camera poses
-            Rbw2 = jnp.swapaxes(res.Rwb, 1, 2)
-            tbw2 = -jnp.einsum("kij,kj->ki", Rbw2, res.pwb)
-            Rcw2 = jnp.einsum("ij,kjl->kil", self.Rcb, Rbw2)
-            tcw2 = jnp.einsum("ij,kj->ki", self.Rcb, tbw2) + self.tcb
-            # scatter back
-            free = cam_ok & ~prob_v.cam_fixed
-            dstc = jnp.where(free, cam_sel, K)
-            kf_R = m.kf_R.at[dstc].set(Rcw2, mode="drop")
-            kf_t = m.kf_t.at[dstc].set(tcw2, mode="drop")
-            kf_vel = m.kf_vel.at[dstc].set(res.vel, mode="drop")
-            kf_bias = m.kf_bias.at[dstc].set(res.bias, mode="drop")
-            P = m.pt_xyz.shape[0]
-            dstp = jnp.where(pt_ok, pt_sel, P)
-            pt_xyz = m.pt_xyz.at[dstp].set(res.X, mode="drop")
-            return m._replace(kf_R=kf_R, kf_t=kf_t, kf_vel=kf_vel,
-                              kf_bias=kf_bias, pt_xyz=pt_xyz)
+        def make_vi_ba(window: int, cams: int, pts: int, obs: int,
+                       iters: int):
+            """Factory for jitted VI-BA programs over a temporal window.
 
-        self._vi_local_ba = _vi_local_ba
+            window=local_ba_window -> LocalInertialBA parity (reference
+            src/Optimizer.cc:2448); window=map capacity -> FullInertialBA
+            at the IMU-init stages (reference src/Optimizer.cc:371-762 via
+            LocalMapping.cc:1201-1210)."""
+
+            @jax.jit
+            def _vi_ba(m, center_kf, f: inertial_solver.PreintFactor):
+                prob_v, cam_sel, cam_ok, pt_sel, pt_ok = \
+                    mapping.gather_window_problem(
+                        m, center_kf, window, cfg.orb.n_levels,
+                        cfg.orb.scale_factor, cap_cams=cams, cap_pts=pts,
+                        cap_obs=obs, window_mode="temporal",
+                        min_anchors=1)
+                K = m.kf_R.shape[0]
+                cam_inv = jnp.full(K, -1, jnp.int32).at[
+                    jnp.where(cam_ok, cam_sel, K)].set(
+                    jnp.arange(cam_sel.shape[0], dtype=jnp.int32),
+                    mode="drop")
+                # remap factors into the compacted camera indexing
+                fi = cam_inv[jnp.clip(f.kf_i, 0, K - 1)]
+                fj = cam_inv[jnp.clip(f.kf_j, 0, K - 1)]
+                f2 = f._replace(
+                    kf_i=jnp.maximum(fi, 0), kf_j=jnp.maximum(fj, 0),
+                    valid=f.valid & (fi >= 0) & (fj >= 0))
+                # body states of the selected cameras
+                Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, prob_v.R)
+                tbw = jnp.einsum("ij,kj->ki", self.Rbc, prob_v.t) + self._tbc
+                Rwb = jnp.swapaxes(Rbw, 1, 2)
+                pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
+                prob = vi_ba_solver.VIProblem(
+                    Rwb=Rwb, pwb=pwb,
+                    vel=m.kf_vel[cam_sel], bias=m.kf_bias[cam_sel],
+                    cam_fixed=prob_v.cam_fixed, cam_valid=prob_v.cam_valid,
+                    X=prob_v.X, pt_valid=prob_v.pt_valid,
+                    obs_cam=prob_v.obs_cam, obs_pt=prob_v.obs_pt,
+                    obs_uv=prob_v.obs_uv,
+                    obs_inv_sigma2=prob_v.obs_inv_sigma2,
+                    obs_valid=prob_v.obs_valid,
+                    factors=f2, gravity=imu_ops.GRAVITY,
+                    Rcb=self.Rcb, tcb=self.tcb)
+                res = vi_ba_solver.vi_bundle_adjust(
+                    prob, cfg.cam_model, self.cam_params,
+                    iterations=iters, lam0=1.0)
+                # convert optimized body poses back to camera poses
+                Rbw2 = jnp.swapaxes(res.Rwb, 1, 2)
+                tbw2 = -jnp.einsum("kij,kj->ki", Rbw2, res.pwb)
+                Rcw2 = jnp.einsum("ij,kjl->kil", self.Rcb, Rbw2)
+                tcw2 = jnp.einsum("ij,kj->ki", self.Rcb, tbw2) + self.tcb
+                # scatter back
+                free = cam_ok & ~prob_v.cam_fixed
+                dstc = jnp.where(free, cam_sel, K)
+                kf_R = m.kf_R.at[dstc].set(Rcw2, mode="drop")
+                kf_t = m.kf_t.at[dstc].set(tcw2, mode="drop")
+                kf_vel = m.kf_vel.at[dstc].set(res.vel, mode="drop")
+                kf_bias = m.kf_bias.at[dstc].set(res.bias, mode="drop")
+                P = m.pt_xyz.shape[0]
+                dstp = jnp.where(pt_ok, pt_sel, P)
+                pt_xyz = m.pt_xyz.at[dstp].set(res.X, mode="drop")
+                return m._replace(kf_R=kf_R, kf_t=kf_t, kf_vel=kf_vel,
+                                  kf_bias=kf_bias, pt_xyz=pt_xyz)
+
+            return _vi_ba
+
+        cams, pts, obs = cfg.ba_caps
+        self._vi_local_ba = make_vi_ba(cfg.local_ba_window, cams, pts, obs,
+                                       icfg.vi_ba_iters)
+        self._vi_full_ba = make_vi_ba(cfg.map_capacity.n_kf,
+                                      icfg.fiba_cams, pts, obs,
+                                      icfg.fiba_iters)
 
         @jax.jit
         def _vi_pose_opt(m, kf_idx, f1, kp_pt, ff, Rwb0, pwb0, vel0, bias0):
@@ -196,6 +220,38 @@ class InertialSystem(base.System):
                 self.Rcb, self.tcb, imu_ops.GRAVITY)
 
         self._vi_pose_opt = _vi_pose_opt
+
+        @jax.jit
+        def _vi_pose_opt_lf(m, prior, f1, kp_pt, ff, Rwb0, pwb0, vel0,
+                            bias0):
+            """PoseInertialOptimizationLastFrame parity (reference
+            src/Optimizer.cc:3846-4276): the frame-to-frame VIO chain
+            with the marginalized ConstraintPoseImu prior."""
+            from ..solver import vi_pose_opt as vpo
+            P = m.pt_xyz.shape[0]
+            pt = jnp.clip(kp_pt, 0, P - 1)
+            X = m.pt_xyz[pt]
+            sf = jnp.asarray(cfg.orb.scale_factor **
+                             jnp.arange(cfg.orb.n_levels, dtype=jnp.float32))
+            inv_s2 = 1.0 / sf[jnp.clip(ff.octave, 0,
+                                       cfg.orb.n_levels - 1)] ** 2
+            valid = (kp_pt >= 0) & ff.valid
+            return vpo.vi_pose_optimization_last_frame(
+                Rwb0, pwb0, vel0, bias0, prior, f1,
+                X, ff.xy, inv_s2, valid,
+                cfg.cam_model, self.cam_params,
+                self.Rcb, self.tcb, imu_ops.GRAVITY)
+
+        self._vi_pose_opt_lf = _vi_pose_opt_lf
+
+        # KF-interval preintegration at the large buffer capacity (the
+        # per-frame _preint is cap max_imu_per_frame; KF intervals span
+        # many frames).  Also reused by Reintegrate and MergePrevious.
+        @jax.jit
+        def _preint_kf(acc, gyro, dt, mask, bias):
+            return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
+
+        self._preint_kf = _preint_kf
 
     # ------------------------------------------------------------------ api
     def grab_imu(self, ts: float, gyro, acc):
@@ -253,29 +309,65 @@ class InertialSystem(base.System):
                                        jnp.asarray(radius, jnp.float32))
             n_inl = int(tr.n_inliers)
             if n_inl < max(8, self.cfg.min_track_inliers // 3):
+                # stay in RECENTLY_LOST predicting from the IMU (reference
+                # Tracking.cc:467-471 keeps predicting for several seconds
+                # before declaring LOST); only reset after patience expires
+                self.R_cur, self.t_cur = Rg, tg
+                self.R_prev, self.t_prev = Rg, tg
+                self.vel = v2
+                self.last_body = (R2, p2)
+                if self._handle_tracking_loss(ff):
+                    return
                 self._reset()
                 return
+            self.lost_frames = 0
+            self.state = base.OK
             self.R_prev, self.t_prev = self.R_cur, self.t_cur
             self.R_cur, self.t_cur = tr.R, tr.t
             self.has_velocity = True
             self.vel = v2
             self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
-            # visual-inertial frame refinement against the last KF
+            # visual-inertial frame refinement: LastKeyFrame right after a
+            # map update (KF insertion / BA / re-anchor), otherwise the
+            # frame-to-frame LastFrame chain with the marginalized
+            # ConstraintPoseImu prior (reference TrackLocalMap dispatch,
+            # src/Tracking.cc:934-956)
             if self.icfg.use_vi_pose_opt:
-                f1 = self._since_kf_factor(ts)
-                if f1 is not None:
-                    Rb0, pb0 = self.last_body
-                    res = self._vi_pose_opt(
-                        self.map, jnp.asarray(self.last_kf_idx, jnp.int32),
-                        f1, tr.kp_pt, ff, Rb0, pb0, self.vel, self.bias)
-                    if int(res.n_inliers) >= 8:
-                        self.R_cur, self.t_cur = self._body_to_cam(
-                            res.Rwb, res.pwb)
-                        self.vel = res.vel
-                        # frame bias estimate is NOT fed back: the keyframe
-                        # bias stays authoritative (the reference carries
-                        # the frame bias only through the mpcpi prior)
-                        self.last_body = (res.Rwb, res.pwb)
+                from ..solver import vi_pose_opt as vpo
+                Rb0, pb0 = self.last_body
+                if self._map_updated or self.frame_prior is None:
+                    f1 = self._since_kf_factor(ts)
+                    if f1 is not None:
+                        res = self._vi_pose_opt(
+                            self.map,
+                            jnp.asarray(self.last_kf_idx, jnp.int32),
+                            f1, tr.kp_pt, ff, Rb0, pb0, self.vel,
+                            self.bias)
+                        if int(res.n_inliers) >= 8:
+                            self.R_cur, self.t_cur = self._body_to_cam(
+                                res.Rwb, res.pwb)
+                            self.vel = res.vel
+                            self.last_body = (res.Rwb, res.pwb)
+                            self.frame_prior = vpo.VIPosePrior(
+                                Rwb=res.Rwb, pwb=res.pwb, vel=res.vel,
+                                bias=self.bias, H=res.H)
+                            self._map_updated = False
+                else:
+                    f1 = inertial_solver.stack_preints(
+                        [self._frame_preint], [0], [1], capacity=1) \
+                        if self._frame_preint is not None else None
+                    if f1 is not None:
+                        res, new_prior = self._vi_pose_opt_lf(
+                            self.map, self.frame_prior, f1, tr.kp_pt, ff,
+                            Rb0, pb0, self.vel, self.bias)
+                        if int(res.n_inliers) >= 8:
+                            self.R_cur, self.t_cur = self._body_to_cam(
+                                res.Rwb, res.pwb)
+                            self.vel = res.vel
+                            self.last_body = (res.Rwb, res.pwb)
+                            self.frame_prior = new_prior
+                        else:
+                            self.frame_prior = None
             need_kf = (self.frame_id - self.last_kf_id >=
                        self.cfg.max_frames_between_kf) or \
                 (n_inl < self.cfg.kf_inlier_ratio *
@@ -330,8 +422,11 @@ class InertialSystem(base.System):
             super()._insert_keyframe(ff, tr, ts)
         new_idx = self.last_kf_idx
         if st is not None:
-            self.preints.append(st)
+            pre, raw = st
+            self.preints.append(pre)
             self.preint_kf_pairs.append((prev_idx, new_idx))
+            self.preint_raw.append(raw)
+        self._map_updated = True
         # store velocity/bias in the map
         self.map = self.map._replace(
             kf_vel=self.map.kf_vel.at[new_idx].set(self.vel),
@@ -394,27 +489,41 @@ class InertialSystem(base.System):
         return self._vi_local_ba(m, center_kf, f)
 
     def _preintegrate_buffer(self, t0: float, t1: float):
+        """Returns (Preintegrated, raw (acc, gyr, dts) numpy) or None."""
         take = [s for s in self.kf_imu_buffer if t0 < s[0] <= t1]
         self.kf_imu_buffer = [s for s in self.kf_imu_buffer if s[0] > t1]
         if len(take) < 3:
             return None
-        cap = self.icfg.max_imu_per_frame * 16
-        n = min(len(take), cap)
-        acc = np.zeros((cap, 3), np.float32)
-        gyr = np.zeros((cap, 3), np.float32)
-        dts = np.zeros(cap, np.float32)
+        n = len(take)
+        acc = np.zeros((n, 3), np.float32)
+        gyr = np.zeros((n, 3), np.float32)
+        dts = np.zeros(n, np.float32)
         prev_t = t0
-        for i, (st, g, a) in enumerate(take[:n]):
+        for i, (st, g, a) in enumerate(take):
             acc[i] = a
             gyr[i] = g
             dts[i] = max(st - prev_t, 0.0)
             prev_t = st
         if t1 > prev_t:
             dts[n - 1] += t1 - prev_t
-        mask = np.arange(cap) < n
-        return imu_ops.preintegrate(jnp.asarray(acc), jnp.asarray(gyr),
-                                    jnp.asarray(dts), jnp.asarray(mask),
-                                    self.calib, self.bias)
+        return self._preint_raw(acc, gyr, dts, self.bias), (acc, gyr, dts)
+
+    def _preint_raw(self, acc: np.ndarray, gyr: np.ndarray,
+                    dts: np.ndarray, bias):
+        """Preintegrate a variable-length raw sample buffer by padding to
+        the KF-interval capacity (power-of-two multiples keep recompiles
+        bounded when MergePrevious produces longer buffers)."""
+        base = self.icfg.max_imu_per_frame * 16
+        cap = base
+        while cap < len(acc):
+            cap *= 2
+        pad = cap - len(acc)
+        accp = np.pad(acc, ((0, pad), (0, 0)))
+        gyrp = np.pad(gyr, ((0, pad), (0, 0)))
+        dtsp = np.pad(dts, (0, pad))
+        mask = np.arange(cap) < len(acc)
+        return self._preint_kf(jnp.asarray(accp), jnp.asarray(gyrp),
+                               jnp.asarray(dtsp), jnp.asarray(mask), bias)
 
     # -------------------------------------------------------------- IMU init
     def _initialize_imu(self):
@@ -448,16 +557,93 @@ class InertialSystem(base.System):
         self.bias = res.bias
         nk = int(self.map.n_kf)
         self.vel = vel_new[self.last_kf_idx]
-        # reintegrate factors at the new bias (reference Reintegrate())
-        # (first-order bias correction is already inside the residual; the
-        # stored factors keep their linearization point b0)
+        # Reintegrate every stored factor at the new bias from the raw
+        # sample buffers (reference IMU::Preintegrated::Reintegrate,
+        # src/ImuTypes.cc:170 — first-order correction inside the residual
+        # only holds for small bias deltas; the init bias jump is not one)
+        self.preints = [self._preint_raw(a, g, d, self.bias)
+                        for (a, g, d) in self.preint_raw]
         self.imu_initialized = True
+        # Full-map FullInertialBA (bFIBA — reference
+        # src/LocalMapping.cc:1201-1210, Optimizer.cc:371-762): jointly
+        # refine ALL keyframes/points/velocities/biases after re-anchoring
+        if self.icfg.fiba and self.preints:
+            capf = min(len(self.preints), self.icfg.max_factors)
+            f_all = inertial_solver.stack_preints(
+                self.preints, [p[0] for p in self.preint_kf_pairs],
+                [p[1] for p in self.preint_kf_pairs], capacity=capf)
+            self.map = self._vi_full_ba(
+                self.map, jnp.asarray(self.last_kf_idx, jnp.int32), f_all)
+            self.bias = self.map.kf_bias[self.last_kf_idx]
+            self.vel = self.map.kf_vel[self.last_kf_idx]
         # refresh tracker pose after re-anchoring
         self.R_cur = self.map.kf_R[self.last_kf_idx]
         self.t_cur = self.map.kf_t[self.last_kf_idx]
         self.R_prev, self.t_prev = self.R_cur, self.t_cur
         self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
         self.has_velocity = False
+        self.frame_prior = None
+        self._map_updated = True
+
+    def _cull_keyframe(self, kf_idx: int):
+        """KF culling in inertial mode must keep the preintegration chain
+        intact: the two factors meeting at the culled KF are merged into
+        one spanning factor by replaying their raw sample buffers
+        (reference IMU::Preintegrated::MergePrevious,
+        src/ImuTypes.cc:239 — without this, culling silently drops
+        inertial constraints)."""
+        a = next((i for i, p in enumerate(self.preint_kf_pairs)
+                  if p[1] == kf_idx), None)
+        b = next((i for i, p in enumerate(self.preint_kf_pairs)
+                  if p[0] == kf_idx), None)
+        if a is not None and b is not None:
+            acc = np.concatenate([self.preint_raw[a][0],
+                                  self.preint_raw[b][0]])
+            gyr = np.concatenate([self.preint_raw[a][1],
+                                  self.preint_raw[b][1]])
+            dts = np.concatenate([self.preint_raw[a][2],
+                                  self.preint_raw[b][2]])
+            merged = self._preint_raw(acc, gyr, dts, self.bias)
+            pair = (self.preint_kf_pairs[a][0], self.preint_kf_pairs[b][1])
+            for i in sorted((a, b), reverse=True):
+                del self.preints[i]
+                del self.preint_kf_pairs[i]
+                del self.preint_raw[i]
+            self.preints.append(merged)
+            self.preint_kf_pairs.append(pair)
+            self.preint_raw.append((acc, gyr, dts))
+            # keep factor lists temporally ordered (window slicing relies
+            # on recency at the tail)
+            order = sorted(range(len(self.preint_kf_pairs)),
+                           key=lambda i: self.preint_kf_pairs[i][1])
+            self.preints = [self.preints[i] for i in order]
+            self.preint_kf_pairs = [self.preint_kf_pairs[i] for i in order]
+            self.preint_raw = [self.preint_raw[i] for i in order]
+        elif a is not None or b is not None:
+            i = a if a is not None else b
+            del self.preints[i]
+            del self.preint_kf_pairs[i]
+            del self.preint_raw[i]
+        super()._cull_keyframe(kf_idx)
+
+    def _reset(self):
+        """Archive the map and clear ALL inertial bookkeeping (reference
+        Tracking::ResetActiveMap clears IMU-init flags and the preint
+        chain, src/Tracking.cc:1330-1380); stale factors would otherwise
+        reference keyframes of the archived map."""
+        super()._reset()
+        self.imu_initialized = False
+        self.viba1_done = False
+        self.preints = []
+        self.preint_kf_pairs = []
+        self.preint_raw = []
+        self.kf_imu_buffer = []
+        self.kf_time0 = None
+        self.last_body = None
+        self.bias = jnp.zeros(6)
+        self.vel = jnp.zeros(3)
+        self.frame_prior = None
+        self._map_updated = True
 
     def _apply_world_sim3(self, Rg, s: float):
         """World transform x' = s Rg x applied to every KF/point/velocity

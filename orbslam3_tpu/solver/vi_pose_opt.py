@@ -130,3 +130,135 @@ def vi_pose_optimization(Rwb0, pwb0, vel0, bias0,
     return VIPoseResult(Rwb=Rwb, pwb=pwb, vel=vel, bias=bias,
                         inliers=inl,
                         n_inliers=jnp.sum(inl.astype(jnp.int32)), H=H)
+
+
+class VIPosePrior(NamedTuple):
+    """Marginalized 15-dof frame prior (reference ConstraintPoseImu,
+    include/G2oTypes.h:705, carried as Frame::mpcpi)."""
+    Rwb: jnp.ndarray   # linearization state
+    pwb: jnp.ndarray
+    vel: jnp.ndarray
+    bias: jnp.ndarray
+    H: jnp.ndarray     # (15,15) information
+
+
+def _state_diff(Rwb, pwb, vel, bias, prior: VIPosePrior):
+    """15-dof local difference est (-) prior, matching apply_delta's
+    right-mult rotation / additive parametrization (EdgePriorPoseImu
+    residual, reference G2oTypes.h:731)."""
+    return jnp.concatenate([
+        lie.log_so3(jnp.matmul(prior.Rwb.T, Rwb, precision=_HI)),
+        pwb - prior.pwb, vel - prior.vel, bias - prior.bias])
+
+
+def vi_pose_optimization_last_frame(
+        Rwb0, pwb0, vel0, bias0,          # current-frame initial state
+        prior: VIPosePrior,               # previous frame's carried prior
+        factor: PreintFactor,             # preintegration prev -> cur
+        X, uv, inv_sigma2, valid,
+        cam_model: str, cam_params,
+        Rcb, tcb, gravity,
+        rounds: int = 4, its_per_round: int = 5,
+        chi2_th: float = robust.CHI2_MONO):
+    """PoseInertialOptimizationLastFrame parity (reference
+    src/Optimizer.cc:3846-4276): jointly optimize [prev(15), cur(15)]
+    where prev is constrained by its marginalized prior
+    (EdgePriorPoseImu) and the two frames by the preintegration +
+    bias-random-walk edges; visual unary edges act on cur.  Ends by
+    Schur-marginalizing prev out of the 30x30 Hessian (reference
+    Marginalize, :2882-2963) to produce the NEXT frame's prior.
+
+    Returns (VIPoseResult for cur, new VIPosePrior for cur).
+    """
+    delta_h = chi2_th ** 0.5
+    D = 2 * STATE_DIM
+    W9 = info_from_cov(factor.C[0, :9, :9])
+    L9 = jnp.linalg.cholesky(W9 + jnp.eye(9) * 1e-12)
+    Wb = jnp.linalg.inv(factor.C[0, 9:15, 9:15] + jnp.eye(6) * 1e-12)
+    Lb = jnp.linalg.cholesky(Wb)
+    Hp = 0.5 * (prior.H + prior.H.T) + jnp.eye(STATE_DIM) * 1e-6
+    Lp = jnp.linalg.cholesky(Hp)
+
+    def visual_terms(Rwb, pwb, mask, use_robust):
+        Rbw = Rwb.T
+        Xb = (X - pwb) @ Rbw.T
+        Xc = Xb @ Rcb.T + tcb
+        e = uv - cameras.project(cam_model, cam_params, Xc)
+        Jproj = cameras.project_jac(cam_model, cam_params, Xc)
+        n = X.shape[0]
+        dXb = jnp.concatenate([lie.hat(Xb),
+                               -jnp.broadcast_to(Rbw, (n, 3, 3))], axis=-1)
+        J = -jnp.einsum("nij,jk,nkl->nil", Jproj, Rcb, dXb, precision=_HI)
+        chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
+        w_rob = jnp.where(use_robust, robust.huber_weight(chi2, delta_h), 1.0)
+        w = inv_sigma2 * w_rob * mask * (Xc[:, 2] > 1e-2).astype(jnp.float32)
+        return e, J, w, chi2, Xc
+
+    def chain_terms(Rp, pp, vp, bp, Rc, pc, vc, bc):
+        """Whitened [inertial(9), biasRW(6), prior(15)] residuals +
+        Jacobian over the 30-dof joint delta."""
+        def res(d):
+            R1, p1, v1, b1 = apply_delta(Rp, pp, vp, bp, d[:STATE_DIM])
+            R2, p2, v2, b2 = apply_delta(Rc, pc, vc, bc, d[STATE_DIM:])
+            r9 = inertial_residual(factor, 0, R1, p1, v1, R2, p2, v2,
+                                   b1, gravity)
+            rb = b2 - b1
+            rp = _state_diff(R1, p1, v1, b1, prior)
+            return jnp.concatenate([L9.T @ r9, Lb.T @ rb, Lp.T @ rp])
+
+        z = jnp.zeros(D)
+        return res(z), jax.jacfwd(res)(z)
+
+    def gn(state, mask, use_robust, n_its):
+        def body(_, s):
+            Rp, pp, vp, bp, Rc, pc, vc, bc = s
+            e, Jv, w, _, _ = visual_terms(Rc, pc, mask, use_robust)
+            H = jnp.zeros((D, D))
+            b = jnp.zeros(D)
+            Hv = jnp.einsum("nik,n,nil->kl", Jv, w, Jv, precision=_HI)
+            bv = -jnp.einsum("nik,n,ni->k", Jv, w, e, precision=_HI)
+            H = H.at[STATE_DIM:STATE_DIM + 6,
+                     STATE_DIM:STATE_DIM + 6].add(Hv)
+            b = b.at[STATE_DIM:STATE_DIM + 6].add(bv)
+            r_ch, J_ch = chain_terms(Rp, pp, vp, bp, Rc, pc, vc, bc)
+            H = H + jnp.matmul(J_ch.T, J_ch, precision=_HI)
+            b = b - jnp.matmul(J_ch.T, r_ch, precision=_HI)
+            H = H + jnp.eye(D) * 1e-6
+            dx = jnp.linalg.solve(H, b)
+            R1, p1, v1, b1 = apply_delta(Rp, pp, vp, bp, dx[:STATE_DIM])
+            R2, p2, v2, b2 = apply_delta(Rc, pc, vc, bc, dx[STATE_DIM:])
+            return (lie.normalize_rotation(R1), p1, v1, b1,
+                    lie.normalize_rotation(R2), p2, v2, b2)
+
+        return jax.lax.fori_loop(0, n_its, body, state)
+
+    state = (prior.Rwb, prior.pwb, prior.vel, prior.bias,
+             Rwb0, pwb0, vel0, bias0)
+    mask = valid.astype(jnp.float32)
+    for rnd in range(rounds):
+        use_robust = jnp.asarray(rnd < 2)
+        state = gn(state, mask, use_robust, its_per_round)
+        Rc, pc = state[4], state[5]
+        e, _, _, chi2, Xc = visual_terms(Rc, pc, mask, use_robust)
+        mask = (valid & (chi2 <= chi2_th) & (Xc[:, 2] > 1e-2)).astype(
+            jnp.float32)
+
+    Rp, pp, vp, bp, Rc, pc, vc, bc = state
+    # final 30x30 Hessian at convergence, then Schur-marginalize prev
+    e, Jv, w, chi2, _ = visual_terms(Rc, pc, mask, jnp.asarray(False))
+    H = jnp.zeros((D, D))
+    H = H.at[STATE_DIM:STATE_DIM + 6, STATE_DIM:STATE_DIM + 6].add(
+        jnp.einsum("nik,n,nil->kl", Jv, w, Jv, precision=_HI))
+    _, J_ch = chain_terms(Rp, pp, vp, bp, Rc, pc, vc, bc)
+    H = H + jnp.matmul(J_ch.T, J_ch, precision=_HI)
+    Hpp = H[:STATE_DIM, :STATE_DIM] + jnp.eye(STATE_DIM) * 1e-6
+    Hpc = H[:STATE_DIM, STATE_DIM:]
+    Hcc = H[STATE_DIM:, STATE_DIM:]
+    H_marg = Hcc - jnp.matmul(Hpc.T, jnp.linalg.solve(Hpp, Hpc),
+                              precision=_HI)
+    inl = mask > 0
+    res = VIPoseResult(Rwb=Rc, pwb=pc, vel=vc, bias=bc, inliers=inl,
+                       n_inliers=jnp.sum(inl.astype(jnp.int32)), H=H_marg)
+    new_prior = VIPosePrior(Rwb=Rc, pwb=pc, vel=vc, bias=bc,
+                            H=0.5 * (H_marg + H_marg.T))
+    return res, new_prior
