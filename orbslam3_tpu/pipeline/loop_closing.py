@@ -34,9 +34,64 @@ from ..slam_map import state as mapstate
 from ..solver import pose_graph
 
 
+def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
+                          n_covis_edges: int = 256):
+    """Essential-graph edge set (reference OptimizeEssentialGraph,
+    src/Optimizer.cc:1848-2179 + KeyFrame.h:86-101): spanning tree
+    (each KF's strongest earlier covisible), the temporal chain, and all
+    strong covisibility pairs (weight >= min_covis, reference th=100).
+
+    Measurements are the CURRENT relative poses (drift-free odometry
+    belief, s=1).  Returns fixed-capacity (ei, ej, eR, et, es, valid)
+    with capacity 2K + n_covis_edges.
+    """
+    K = m.kf_R.shape[0]
+    P = m.pt_xyz.shape[0]
+    obs_pt_c = jnp.clip(m.obs_pt, 0, P - 1)
+    obs_kf_c = jnp.clip(m.obs_kf, 0, K - 1)
+    ov = m.obs_valid & m.pt_valid[obs_pt_c] & m.kf_valid[obs_kf_c]
+    # incidence (P, K) and covisibility W = A^T A (shared-point counts)
+    A = jnp.zeros((P, K), jnp.float32).at[obs_pt_c, obs_kf_c].max(
+        ov.astype(jnp.float32))
+    W = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
+    ids = jnp.arange(K)
+    valid_pair = m.kf_valid[:, None] & m.kf_valid[None, :] & \
+        (ids[:, None] != ids[None, :])
+    W = jnp.where(valid_pair, W, -1.0)
+
+    # spanning tree: parent = strongest earlier covisible
+    before = ids[None, :] < ids[:, None]
+    Wb = jnp.where(before, W, -1.0)
+    parent = jnp.argmax(Wb, axis=1)
+    tree_ok = (jnp.max(Wb, axis=1) > 0) & m.kf_valid & (ids > 0)
+
+    # temporal chain (k, k-1)
+    chain_ok = m.kf_valid & (ids > 0) & \
+        m.kf_valid[jnp.maximum(ids - 1, 0)] & (ids < m.n_kf)
+
+    # strong covisibility pairs, upper triangle, top-C by weight
+    Wu = jnp.where(before, W, -1.0).reshape(-1)
+    vals, flat = jax.lax.top_k(Wu, n_covis_edges)
+    cv_i = flat // K
+    cv_j = flat % K
+    cv_ok = vals >= float(min_covis)
+
+    ei = jnp.concatenate([ids, ids, cv_i])
+    ej = jnp.concatenate([jnp.maximum(ids - 1, 0), parent, cv_j])
+    evalid = jnp.concatenate([chain_ok, tree_ok, cv_ok])
+    # measurement S_ij = S_i . S_j^-1 from current poses (s=1)
+    Ri, ti = m.kf_R[ei], m.kf_t[ei]
+    Rj, tj = m.kf_R[ej], m.kf_t[ej]
+    Rm = jnp.einsum("kij,klj->kil", Ri, Rj)
+    tm = ti - jnp.einsum("kij,kj->ki", Rm, tj)
+    es = jnp.ones(ei.shape[0], jnp.float32)
+    return ei.astype(jnp.int32), ej.astype(jnp.int32), Rm, tm, es, evalid
+
+
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
-    n_words: int = 2048
+    n_words: int = 4096
+    vocab: str = "trained"          # "trained" (data/vocab_*.npy) | "seed"
     min_common_words: int = 5
     consistency_needed: int = 3     # consecutive consistent detections
     min_sim3_matches: int = 20
@@ -50,7 +105,8 @@ class LoopCloser:
 
     def __init__(self, cfg: LoopConfig, n_kf_capacity: int):
         self.cfg = cfg
-        self.codebook = jnp.asarray(vocab_mod.seed_codebook(cfg.n_words))
+        self.codebook = jnp.asarray(vocab_mod.load_codebook(
+            cfg.n_words, prefer_trained=(cfg.vocab == "trained")))
         self.db = kdb.KeyframeDB.create(n_kf_capacity, cfg.n_words)
         self.consistent_count = 0
         self.last_candidate = -1
@@ -170,33 +226,22 @@ class LoopCloser:
         Rv, tv = m.kf_R, m.kf_t
         sv = jnp.ones(K)
 
-        # edges: temporal chain with current relative poses (drift-free
-        # odometry belief) + the measured loop edge cur <-> loop.
-        ei, ej = [], []
-        eR, et, es = [], [], []
-        Rn = np.asarray(Rv)
-        tn = np.asarray(tv)
-        for k in range(1, nk):
-            i, jdx = k, k - 1
-            Ri = jnp.asarray(Rn[i])
-            ti = jnp.asarray(tn[i])
-            Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(
-                jnp.asarray(Rn[jdx]), jnp.asarray(tn[jdx]), jnp.asarray(1.0))
-            Rm, tm, sm = lie.sim3_compose(Ri, ti, jnp.asarray(1.0),
-                                          Rj_inv, tj_inv, sj_inv)
-            ei.append(i); ej.append(jdx)
-            eR.append(Rm); et.append(tm); es.append(sm)
+        # edges: essential graph (temporal chain + spanning tree + strong
+        # covisibility pairs, reference src/Optimizer.cc:1848-2179) + the
+        # measured loop edge cur <-> loop.  No ad-hoc edge weighting: the
+        # covisibility structure distributes the correction.
+        ei, ej, eR, et, es, evalid = build_essential_graph(m)
         # loop edge: measured S_cur_loop — sim3 maps loop-KF camera coords
         # into cur-KF camera coords: x_cur = s R x_loop + t, so
         # S_cur_w = S_measured ∘ S_loop_w  =>  edge (cur, loop) with
         # measurement S_cl = S_cur S_loop^-1 = sim3 measured.
-        ei.append(kf_cur); ej.append(kf_loop)
-        eR.append(sim3.R12); et.append(sim3.t12)
-        es.append(sim3.s12)
-        # loop edge weighted above odometry (the reference instead seeds
-        # the corrected-KF vertices at the measured Sim3 AND has many
-        # covisibility edges on the old side; the weight plays that role)
-        weights = jnp.ones(len(ei), jnp.float32).at[len(ei) - 1].set(30.0)
+        ei = jnp.concatenate([ei, jnp.asarray([kf_cur], jnp.int32)])
+        ej = jnp.concatenate([ej, jnp.asarray([kf_loop], jnp.int32)])
+        eR = jnp.concatenate([eR, sim3.R12[None]])
+        et = jnp.concatenate([et, sim3.t12[None]])
+        es = jnp.concatenate([es, sim3.s12[None]])
+        evalid = jnp.concatenate([evalid, jnp.asarray([True])])
+        weights = jnp.ones(ei.shape[0], jnp.float32)
 
         # pre-correct the current KF vertex: S_cur := S_meas ∘ S_loop
         # (reference CorrectLoop rigidly corrects the current window first)
@@ -211,10 +256,8 @@ class LoopCloser:
         res = pose_graph.optimize_pose_graph(
             Rv, tv, sv, fixed=fixed,
             valid=m.kf_valid,
-            e_i=jnp.asarray(ei, jnp.int32), e_j=jnp.asarray(ej, jnp.int32),
-            e_R=jnp.stack(eR), e_t=jnp.stack(et),
-            e_s=jnp.asarray(es, jnp.float32),
-            e_valid=jnp.ones(len(ei), bool),
+            e_i=ei, e_j=ej, e_R=eR, e_t=et, e_s=es,
+            e_valid=evalid,
             e_weight=weights,
             iterations=self.cfg.pose_graph_iters)
 
@@ -237,8 +280,40 @@ class LoopCloser:
             pt_xyz=X_new,
             pt_min_dist=m.pt_min_dist * pt_scale,
             pt_max_dist=m.pt_max_dist * pt_scale)
+        # correct the already-recorded per-frame trajectory segment-wise:
+        # each frame is anchored to the last KF at-or-before its timestamp;
+        # apply that KF's world correction A_k = S_new_k^-1 . S_old_k
+        # (the reference exports trajectories relative to corrected
+        # reference KFs — Tracking::mlRelativeFramePoses; without this the
+        # export mixes drifted pre-loop frame poses with the corrected map)
+        if system.trajectory:
+            kf_ts = np.asarray(m.kf_ts[:nk])
+            R_old_n = np.asarray(m.kf_R[:nk])
+            t_old_n = np.asarray(m.kf_t[:nk])
+            Rn_all = np.asarray(res.R[:nk])
+            tn_all = np.asarray(res.t[:nk])
+            sn_all = np.asarray(res.s[:nk])
+            traj_ts = np.asarray([e[0] for e in system.trajectory])
+            seg = np.clip(np.searchsorted(kf_ts, traj_ts, side="right") - 1,
+                          0, nk - 1)
+            new_traj = []
+            for e_idx, (ts_, Rwc_, twc_) in enumerate(system.trajectory):
+                k = int(seg[e_idx])
+                # A = S_new_k^-1 . S_old_k   (both world->camera_k Sim3s;
+                # S_old has s=1, so A = (R_a, t_a, s_a=1/s_new))
+                s_a = 1.0 / max(float(sn_all[k]), 1e-9)
+                R_inv = Rn_all[k].T
+                t_inv = -s_a * (R_inv @ tn_all[k])
+                R_a = R_inv @ R_old_n[k]
+                t_a = s_a * (R_inv @ t_old_n[k]) + t_inv
+                new_traj.append((ts_, R_a @ Rwc_,
+                                 s_a * (R_a @ twc_) + t_a))
+            system.trajectory = new_traj
         # tracker state refresh
         system.R_cur = system.map.kf_R[kf_cur]
         system.t_cur = system.map.kf_t[kf_cur]
         system.R_prev, system.t_prev = system.R_cur, system.t_cur
         system.has_velocity = False
+        if hasattr(system, "frame_prior"):   # invalidate the VIO prior
+            system.frame_prior = None
+            system._map_updated = True

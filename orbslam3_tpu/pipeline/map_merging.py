@@ -100,6 +100,15 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         system.map = merged
         system.kf_features = new_features
         system.kf_bindings = new_bindings
+        # rebuild the device feature bank over the merged keyframe set
+        if system.bank is not None:
+            from ..slam_map import feature_bank as fbank
+            system.bank = fbank.empty_bank(system.bank.xy.shape[0],
+                                           system.bank.xy.shape[1])
+            for k, f in new_features.items():
+                b = new_bindings.get(k)
+                if b is not None and f.capacity == system.bank.xy.shape[1]:
+                    system.bank = fbank.set_frame(system.bank, k, f, b)
         system.last_kf_idx = kf_idx + kf_off
         # current camera pose: read from the merged (transformed) map
         ki = system.last_kf_idx
@@ -107,6 +116,9 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         system.t_cur = system.map.kf_t[ki]
         system.R_prev, system.t_prev = system.R_cur, system.t_cur
         system.has_velocity = False
+        if hasattr(system, "frame_prior"):   # invalidate the VIO prior
+            system.frame_prior = None
+            system._map_updated = True
         # merge trajectories: archived first, then current transformed
         Rw_np, sw_np = np.asarray(Rw), float(sw)
         cur_traj = [(ts_, Rw_np @ Rwc_, sw_np * (Rw_np @ twc_) +

@@ -41,6 +41,7 @@ class NewPoints(NamedTuple):
     valid: jnp.ndarray     # (N,) bool
     kp_cur: jnp.ndarray    # (N,) keypoint index in current frame
     kp_prev: jnp.ndarray   # (N,) matched keypoint index in prev KF
+    score: jnp.ndarray     # (N,) cos(parallax) — lower = better baseline
 
 
 def triangulate_new_points(ff_cur: FeatureFrame, ff_prev: FeatureFrame,
@@ -61,10 +62,28 @@ def triangulate_new_points(ff_cur: FeatureFrame, ff_prev: FeatureFrame,
     sf = jnp.asarray(scale_factor ** jnp.arange(n_levels, dtype=jnp.float32))
     sigma2 = sf ** 2
     # epipolar-gated descriptor matching prev <- cur
-    F_cp = fundamental_from_poses(R_cur, t_cur, R_prev, t_prev, K4)
-    epi = matching.epipolar_mask(ff_cur.xy, ff_prev.xy, F_cp,
-                                 sigma2[jnp.clip(ff_prev.octave, 0,
-                                                 n_levels - 1)])
+    if cam_model == "pinhole":
+        F_cp = fundamental_from_poses(R_cur, t_cur, R_prev, t_prev, K4)
+        epi = matching.epipolar_mask(ff_cur.xy, ff_prev.xy, F_cp,
+                                     sigma2[jnp.clip(ff_prev.octave, 0,
+                                                     n_levels - 1)])
+    else:
+        # fisheye (KB8): gate in ray space, not on distorted pixels — the
+        # reference checks the epipolar constraint on unprojected bearings
+        # (src/CameraModels/KannalaBrandt8.cpp:306).  We map bearings onto
+        # a unit virtual pinhole (z=1 plane) and scale the pixel sigma by
+        # the focal length, like TwoViewReconstruction's KB8 path.
+        b_c = cameras.unproject(cam_model, cam_params, ff_cur.xy)
+        b_p = cameras.unproject(cam_model, cam_params, ff_prev.xy)
+        n_c = b_c[:, :2] / jnp.maximum(b_c[:, 2:3], 1e-3)
+        n_p = b_p[:, :2] / jnp.maximum(b_p[:, 2:3], 1e-3)
+        unit_k = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)
+        F_cp = fundamental_from_poses(R_cur, t_cur, R_prev, t_prev, unit_k)
+        f_approx = cam_params[0]
+        epi = matching.epipolar_mask(
+            n_c, n_p, F_cp,
+            sigma2[jnp.clip(ff_prev.octave, 0, n_levels - 1)] /
+            (f_approx * f_approx))
     mask = epi & cur_unmatched[:, None] & prev_unmatched[None, :] & \
         ff_cur.valid[:, None] & ff_prev.valid[None, :]
     mm = matching.match_nn(ff_cur.desc, ff_prev.desc, mask,
@@ -110,7 +129,62 @@ def triangulate_new_points(ff_cur: FeatureFrame, ff_prev: FeatureFrame,
 
     valid = mm.valid & finite & depth_ok & parallax_ok & reproj_ok & scale_ok
     return NewPoints(xyz=X, valid=valid, kp_cur=jnp.arange(N),
-                     kp_prev=mm.idx)
+                     kp_prev=mm.idx,
+                     score=jnp.where(valid, cosp, 2.0))
+
+
+def select_triangulation_neighbors(m: mapstate.MapState, ki,
+                                   n_neighbors: int):
+    """Pick triangulation partners for a new keyframe: the temporal
+    predecessor + the best covisible keyframes (reference
+    CreateNewMapPoints searches <=30 covisible+temporal neighbors,
+    src/LocalMapping.cc:413-726).
+
+    Returns (idx (NN,), ok (NN,)); slot 0 is the temporal neighbor.
+    """
+    K = m.kf_R.shape[0]
+    ids = jnp.arange(K)
+    before = (ids < ki) & m.kf_valid
+    prev = jnp.max(jnp.where(before, ids, -1))
+    covis = mapstate.covisibility_weights(m, ki)
+    score = jnp.where(before & (ids != prev), covis, 0)
+    vals, idxs = jax.lax.top_k(score, n_neighbors - 1)
+    idx = jnp.concatenate([jnp.maximum(prev, 0)[None], idxs])
+    ok = jnp.concatenate([(prev >= 0)[None], vals > 0])
+    return idx, ok
+
+
+def triangulate_vs_neighbors(m: mapstate.MapState, bank, ki,
+                             ff: FeatureFrame, cur_unmatched,
+                             nbr_idx, nbr_ok,
+                             cam_model: str, cam_params, K4,
+                             scale_factor: float, n_levels: int
+                             ) -> NewPoints:
+    """Triangulate the current KF's unmatched keypoints against each
+    neighbor keyframe (features gathered from the device FeatureBank),
+    then keep per-keypoint the neighbor with the widest parallax.
+
+    Returns stacked NewPoints with leading dim NN; `valid` already
+    deduplicated so each current keypoint creates at most one point.
+    """
+    from ..slam_map import feature_bank as fb
+    R_cur, t_cur = m.kf_R[ki], m.kf_t[ki]
+
+    def one(nbr, ok):
+        ffn = fb.frame_view(bank, nbr)
+        unb = (bank.kp_pt[nbr] < 0) & ffn.valid
+        nps = triangulate_new_points(
+            ff, ffn, cur_unmatched, unb,
+            R_cur, t_cur, m.kf_R[nbr], m.kf_t[nbr],
+            cam_model, cam_params, K4, scale_factor, n_levels)
+        return nps._replace(valid=nps.valid & ok,
+                            score=jnp.where(nps.valid & ok, nps.score, 2.0))
+
+    nps = jax.vmap(one)(nbr_idx, nbr_ok)
+    best = jnp.argmin(nps.score, axis=0)              # (N,) winning neighbor
+    NN = nbr_idx.shape[0]
+    winner = (jnp.arange(NN)[:, None] == best[None, :]) & nps.valid
+    return nps._replace(valid=winner)
 
 
 def point_descriptor_stats(X, desc, kf_center, octave, scale_factor: float,
@@ -126,35 +200,18 @@ def point_descriptor_stats(X, desc, kf_center, octave, scale_factor: float,
     return normal, min_dist, max_dist
 
 
-def insert_keyframe(m: mapstate.MapState, ff: FeatureFrame, tr_kp_pt,
-                    R, t, ts, frame_id, prev_kf_idx,
-                    cam_model: str, cam_params, K4,
-                    vel=None, bias=None,
-                    scale_factor: float = 1.2, n_levels: int = 8,
-                    new_pt_budget: int = 512):
-    """Full keyframe insertion: add KF, bind tracked observations, then
-    triangulate new points against the previous keyframe
-    (reference ProcessNewKeyFrame + CreateNewMapPoints; round-1 uses the
-    single temporal neighbor — the covisible-neighbor loop widens later).
-    Returns (map, kf_idx).
-    """
-    m, ki = mapstate.add_keyframe(m, R, t, ts, frame_id, vel, bias)
-    # tracked-point observations
-    m = mapstate.add_observations(m, ki, tr_kp_pt, ff.xy, ff.octave,
-                                  (tr_kp_pt >= 0) & ff.valid)
-
-    # previous KF features: reconstruct a FeatureFrame view of its obs?
-    # Round 1 keeps the full FeatureFrame of the previous KF host-side; the
-    # caller passes it in via closure (see System).  Triangulation happens
-    # in the caller because it needs the previous KF's FeatureFrame.
-    return m, ki
-
-
-def _compact(mask: jnp.ndarray, cap: int):
+def _compact(mask: jnp.ndarray, cap: int, score=None):
     """Select up to `cap` True positions: returns (sel (cap,), sel_valid
-    (cap,), inv (n,) mapping global->local or -1)."""
+    (cap,), inv (n,) mapping global->local or -1).  With `score`, True
+    positions are taken best-score-first (the reference's sorted point
+    budget, src/Optimizer.cc:4277-4295, with observation count standing
+    in for stored reprojection error)."""
     n = mask.shape[0]
-    order = jnp.argsort(~mask)          # True entries first, stable
+    if score is None:
+        order = jnp.argsort(~mask)      # True entries first, stable
+    else:
+        order = jnp.argsort(jnp.where(mask, -score.astype(jnp.float32),
+                                      jnp.inf))
     sel = order[:cap]
     count = jnp.sum(mask.astype(jnp.int32))
     sel_valid = jnp.arange(cap) < count
@@ -166,10 +223,20 @@ def _compact(mask: jnp.ndarray, cap: int):
 def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
                           window: int, n_levels: int, scale_factor: float,
                           cap_cams: int = 32, cap_pts: int = 8192,
-                          cap_obs: int = 32768):
-    """Compact the temporal-window local-BA problem into fixed small
-    capacities (reference LocalBundleAdjustment window construction,
-    src/Optimizer.cc:1069-1140: window KFs free, other observers fixed).
+                          cap_obs: int = 32768,
+                          window_mode: str = "covis",
+                          min_anchors: int = 2,
+                          prior_pos=None, prior_w=None):
+    """Compact the local-BA problem into fixed small capacities
+    (reference LocalBundleAdjustment window construction,
+    src/Optimizer.cc:1069-1140: the window is the current KF + its best
+    covisible KFs, free; other observers fixed; points budgeted by a
+    sorted selection).
+
+    The window is covisibility-selected (top `window-1` covisible KFs of
+    the center + the temporal predecessor as a floor), matching the
+    reference's GetBestCovisibilityKeyFrames window rather than a
+    temporal id range.
 
     Returns (BAProblem, cam_sel, pt_sel) for scattering results back.
     """
@@ -178,16 +245,33 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
     sf = jnp.asarray(scale_factor ** jnp.arange(n_levels, dtype=jnp.float32))
 
     kf_ids = jnp.arange(K)
-    in_window = (kf_ids > center_kf - window) & (kf_ids <= center_kf) & \
-        m.kf_valid
+    if window_mode == "temporal":
+        # LocalInertialBA keeps a temporal chain (reference
+        # src/Optimizer.cc:2452-2460) so the preintegration factor chain
+        # stays inside the free window
+        in_window = (kf_ids > center_kf - window) & \
+            (kf_ids <= center_kf) & m.kf_valid
+    else:
+        covis = mapstate.covisibility_weights(m, center_kf)
+        cscore = jnp.where(m.kf_valid & (kf_ids != center_kf), covis, 0)
+        top_vals, top_idx = jax.lax.top_k(cscore, max(window - 1, 1))
+        prev = jnp.max(jnp.where((kf_ids < center_kf) & m.kf_valid,
+                                 kf_ids, -1))
+        in_window = jnp.zeros(K, bool).at[top_idx].set(top_vals > 0)
+        in_window = in_window.at[center_kf].set(True)
+        in_window = in_window.at[jnp.maximum(prev, 0)].set(
+            in_window[jnp.maximum(prev, 0)] | (prev >= 0))
+        in_window &= m.kf_valid
 
     obs_pt_c = jnp.clip(m.obs_pt, 0, P - 1)
     obs_kf_c = jnp.clip(m.obs_kf, 0, K - 1)
     obs_ok = m.obs_valid & m.pt_valid[obs_pt_c] & m.kf_valid[obs_kf_c]
 
-    # points observed by the window
+    # points observed by the window, budgeted by observation count when
+    # over capacity (stand-in for the reference's sorted-reproj budget)
     pt_in = jnp.zeros(P, bool).at[obs_pt_c].max(obs_ok & in_window[obs_kf_c])
-    pt_sel, pt_sel_valid, pt_inv = _compact(pt_in, cap_pts)
+    nobs = jnp.zeros(P, jnp.int32).at[obs_pt_c].add(obs_ok.astype(jnp.int32))
+    pt_sel, pt_sel_valid, pt_inv = _compact(pt_in, cap_pts, score=nobs)
 
     # observations of those points (from any KF)
     obs_rel = obs_ok & (pt_inv[obs_pt_c] >= 0)
@@ -211,7 +295,11 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
     fixed = ~in_window[cam_sel] | (cam_sel < 1)
     n_prob_cams = jnp.sum(cam_sel_valid.astype(jnp.int32))
     n_anchors = jnp.sum((fixed & cam_sel_valid).astype(jnp.int32))
-    need_second = (n_anchors < 2) & (n_prob_cams >= 3)
+    # mono-visual BA needs a second anchor to pin scale; VI callers pass
+    # min_anchors=1 (the IMU observes scale — pinning a second KF there
+    # would fight the metric solution, reference FullInertialBA fixes only
+    # the init KF, src/Optimizer.cc:430)
+    need_second = (n_anchors < min_anchors) & (n_prob_cams >= 3)
     fixed = fixed | ((cam_sel == 1) & need_second)
     prob = ba.BAProblem(
         R=m.kf_R[cam_sel], t=m.kf_t[cam_sel],
@@ -221,6 +309,9 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
         obs_uv=m.obs_uv[obs_sel], obs_inv_sigma2=inv_sigma2,
         obs_valid=obs_sel_valid & (o_kf >= 0) & (o_pt >= 0),
         obs_ur=m.obs_ur[obs_sel])
+    if prior_pos is not None:
+        prob = prob._replace(prior_pos=prior_pos[cam_sel],
+                             prior_w=prior_w[cam_sel])
     return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
 
 
@@ -230,15 +321,33 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                  scale_factor: float = 1.2, n_levels: int = 8,
                  chi2_cull: float = 7.5,
                  stereo_bf: float = 0.0,
+                 mesh=None, mesh_axis: str = "shard",
+                 prior_pos=None, prior_w=None,
                  **caps):
-    """Local BA on a temporal keyframe window + outlier observation culling
-    (reference LocalBundleAdjustment, 10 its, then removes chi2>5.991
-    observations; we cull at a slightly looser threshold and rely on the
-    robust kernel in between)."""
+    """Local BA on a covisibility keyframe window + outlier observation
+    culling (reference LocalBundleAdjustment, 10 its, then removes
+    chi2>5.991 observations; we cull at a slightly looser threshold and
+    rely on the robust kernel in between).
+
+    With `mesh`, the solve runs sharded over the device mesh (points +
+    observations partitioned, reduced system psum'd) via
+    parallel.dist_ba — the engine's distributed back-end, not a demo.
+    """
     prob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_problem(
-        m, center_kf, window, n_levels, scale_factor, **caps)
-    res = ba.bundle_adjust(prob, cam_model, cam_params,
-                           iterations=iterations, stereo_bf=stereo_bf)
+        m, center_kf, window, n_levels, scale_factor,
+        prior_pos=prior_pos, prior_w=prior_w, **caps)
+    if mesh is not None:
+        from ..parallel import dist_ba
+        dprob = dist_ba.partition_problem(prob, mesh.shape[mesh_axis])
+        R_d, t_d, X_d, _ = dist_ba.dist_bundle_adjust(
+            dprob, mesh, axis=mesh_axis, cam_model=cam_model,
+            cam_params=cam_params, iterations=iterations)
+        res = ba.BAResult(R=R_d, t=t_d, X=X_d,
+                          obs_chi2=jnp.zeros_like(prob.obs_inv_sigma2),
+                          cost=jnp.zeros(()))
+    else:
+        res = ba.bundle_adjust(prob, cam_model, cam_params,
+                               iterations=iterations, stereo_bf=stereo_bf)
     # scatter back optimized cameras/points
     K = m.kf_R.shape[0]
     P = m.pt_xyz.shape[0]
