@@ -34,6 +34,22 @@ def seed_codebook(n_words: int = 2048, seed: int = 7) -> np.ndarray:
     return rng.integers(0, 2 ** 32, (n_words, 8), dtype=np.uint32)
 
 
+def load_codebook(n_words: int = 4096,
+                  prefer_trained: bool = True) -> np.ndarray:
+    """Load the pretrained codebook (tools/train_vocab.py output — the
+    analogue of loading ORBvoc.txt, reference src/System.cc:75-88);
+    falls back to the pseudo-random seed codebook when absent."""
+    if prefer_trained:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            f"vocab_{n_words}.npy")
+        if os.path.exists(path):
+            cb = np.load(path)
+            if cb.shape == (n_words, 8):
+                return cb.astype(np.uint32)
+    return seed_codebook(n_words)
+
+
 def assign_words(desc: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     """(N, 8) uint32 -> (N,) int32 word ids (Hamming argmin)."""
     d = brief.hamming_distance(desc, codebook)  # (N, V)
