@@ -43,6 +43,10 @@ class GeometricReferencer:
     """Sliding-window Umeyama alignment SLAM -> GNSS frame."""
     min_kfs: int = 10
     window: int = 50
+    # degenerate-geometry guard: minimum positional spread (std-norm) of
+    # the SLAM positions before estimating the Sim3.  In SLAM units —
+    # mono maps are median-depth normalized, so this must be small.
+    min_spread: float = 0.1
     _slam: list = dataclasses.field(default_factory=list)
     _gnss: list = dataclasses.field(default_factory=list)
     transform: GeorefTransform | None = None
@@ -66,7 +70,7 @@ class GeometricReferencer:
         dst = jnp.asarray(np.stack(self._gnss))
         # degenerate-geometry guard: reference requires sufficient spread
         spread = float(jnp.linalg.norm(jnp.std(src, axis=0)))
-        if spread < 0.5:
+        if spread < self.min_spread:
             return self.transform
         R, t, s = align.umeyama_alignment(src, dst, with_scale=True)
         self.transform = GeorefTransform(R=R, t=t, s=s, valid=True)

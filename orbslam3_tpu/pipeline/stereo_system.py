@@ -99,6 +99,7 @@ class StereoSystem(base.System):
         self.last_kf_idx = int(k0)
         self.kf_features[int(k0)] = ff
         self.kf_bindings[int(k0)] = jnp.where(ok, pt_idx, -1)
+        self._bank_store(int(k0), ff, self.kf_bindings[int(k0)])
         self.inliers_at_last_kf = n_ok
 
     def _frame_kp_ur(self, ff: FeatureFrame) -> jnp.ndarray:
@@ -139,3 +140,5 @@ class StereoSystem(base.System):
                                       ur=jnp.where(d.valid, d.ur, -1.0))
         self.map = m
         self.kf_bindings[ki] = jnp.where(free, pt_idx, kp_pt)
+        from ..slam_map import feature_bank as fbank
+        self.bank = fbank.set_binding(self.bank, ki, self.kf_bindings[ki])

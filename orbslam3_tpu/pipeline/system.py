@@ -58,14 +58,30 @@ class SlamConfig:
     max_frames_between_kf: int = 15
     kf_inlier_ratio: float = 0.75     # insert KF when inliers decay to this
     new_pt_budget: int = 768
+    tri_neighbors: int = 4     # triangulation partners (1 temporal + covis)
     local_ba_window: int = 8
     local_ba_iters: int = 10
     ba_caps: tuple = (32, 6144, 24576)  # cams, pts, obs for local BA
+    # >1: run the pipeline's local BA sharded over this many devices
+    # (points+observations partitioned, reduced system psum'd over the
+    # mesh — parallel/dist_ba); 0/1 = single-device solve
+    ba_mesh_shards: int = 0
     enable_loop_closing: bool = False
+    enable_relocalization: bool = True  # KF database + reloc on loss
     reloc_patience: int = 10   # frames in RECENTLY_LOST before map reset
     stereo_bf: float = 0.0     # fx * baseline; > 0 enables stereo residuals
     fuse_every_n_kf: int = 4   # SearchInNeighbors cadence (0 = off)
     kf_culling: bool = True    # KeyFrameCulling (fork disabled it; we don't)
+    # GNSS geo-referencing (the fork's headline addition — reference
+    # src/GeometricReferencer.cpp + LocalGNSSBundleAdjustment,
+    # src/Optimizer.cc:1362-1604): feed fixes via grab_gnss(); after
+    # georef init, keyframe positions get GNSS position priors in BA
+    enable_gnss: bool = False
+    gnss_sigma: float = 0.5        # fix std-dev in SLAM-frame units
+    gnss_min_kfs: int = 10         # fixes before Umeyama init
+    gnss_ba_every: int = 4         # GNSS-constrained BA cadence (KFs)
+    gnss_ba_cams: int = 64         # KF capacity of the GNSS BA window
+    gnss_time_tol: float = 0.05    # fix<->frame association tolerance [s]
 
 
 class System:
@@ -90,16 +106,32 @@ class System:
         self.last_kf_idx = -1         # map index of last keyframe
         self.kf_features: dict[int, FeatureFrame] = {}  # kf_idx -> features
         self.kf_bindings: dict[int, jnp.ndarray] = {}   # kf_idx -> kp_pt
+        # device-resident stacked copy of the same data, used by the
+        # jitted insertion/triangulation path; sized lazily from the first
+        # frame's keypoint capacity (tests feed arbitrary-capacity frames)
+        self.bank = None
         self.inliers_at_last_kf = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_resets = 0
+        # the keyframe database backs BOTH loop closing and relocalization
+        # (the reference keeps the KFDB alive even with loop closing off —
+        # src/System.cc:93; reloc must not require loop closing)
         self.loop_closer = None
-        if config.enable_loop_closing:
+        if config.enable_loop_closing or config.enable_relocalization:
             from . import loop_closing
             self.loop_closer = loop_closing.LoopCloser(
                 loop_closing.LoopConfig(), config.map_capacity.n_kf)
         self.atlas = atlas_mod.Atlas(config.map_capacity)
         self.lost_frames = 0
+        # GNSS geo-referencing state
+        self.georef = None
+        self.gnss_queue: list[tuple[float, np.ndarray]] = []
+        self.kf_gnss: dict[int, np.ndarray] = {}   # kf_idx -> geo pos
+        self.gnss_origin: Optional[np.ndarray] = None
+        if config.enable_gnss:
+            from ..geometry import georef as georef_mod
+            self.georef = georef_mod.GeometricReferencer(
+                min_kfs=config.gnss_min_kfs)
         self._build_jits()
 
     # ------------------------------------------------------------------ jit
@@ -141,43 +173,72 @@ class System:
             return tr, m2
 
         @jax.jit
-        def _insert_kf(m, ff, kp_pt, R, t, ts, frame_id,
-                       prev_ff, prev_kp_pt, prev_R, prev_t, prev_kf_idx,
-                       kp_ur):
+        def _insert_kf(m, bank, ff, kp_pt, R, t, ts, frame_id, kp_ur):
+            """KF insertion + covisible-neighbor triangulation in ONE
+            program (reference ProcessNewKeyFrame + CreateNewMapPoints,
+            src/LocalMapping.cc:321-726 — the neighbor loop over <=30
+            covisible KFs becomes a vmapped gather over the device
+            FeatureBank)."""
+            from ..slam_map import feature_bank as fbank
             m, ki = mapstate.add_keyframe(m, R, t, ts, frame_id)
             m = mapstate.add_observations(m, ki, kp_pt, ff.xy, ff.octave,
                                           (kp_pt >= 0) & ff.valid, ur=kp_ur)
-            # triangulate new points vs previous keyframe
-            np_ = mapping.triangulate_new_points(
-                ff, prev_ff, (kp_pt < 0) & ff.valid,
-                (prev_kp_pt < 0) & prev_ff.valid,
-                R, t, prev_R, prev_t, cam_model, self.cam_params,
-                self.cam_params, cfg.orb.scale_factor, cfg.orb.n_levels)
-            # budget: keep best new points (by parallax already gated) —
-            # take first new_pt_budget valid
+            bank = fbank.set_frame(bank, ki, ff, kp_pt)
+            nbr_idx, nbr_ok = mapping.select_triangulation_neighbors(
+                m, ki, cfg.tri_neighbors)
+            nps = mapping.triangulate_vs_neighbors(
+                m, bank, ki, ff, (kp_pt < 0) & ff.valid, nbr_idx, nbr_ok,
+                cam_model, self.cam_params, self.cam_params,
+                cfg.orb.scale_factor, cfg.orb.n_levels)
+            # budget across all neighbors, widest parallax first
+            NN, N = nps.valid.shape
             B = cfg.new_pt_budget
-            order = jnp.argsort(~np_.valid)[:B]
-            sel_valid = np_.valid[order]
+            order = jnp.argsort(jnp.where(nps.valid.reshape(-1),
+                                          nps.score.reshape(-1), 2.5))[:B]
+            sel_valid = nps.valid.reshape(-1)[order]
+            sel_nn = order // N
+            sel_i = order % N
             Ow = -jnp.einsum("ji,j->i", R, t)
+            X_sel = nps.xyz.reshape(-1, 3)[order]
+            desc_sel = ff.desc[sel_i]
+            oct_sel = ff.octave[sel_i]
             normal, dmin, dmax = mapping.point_descriptor_stats(
-                np_.xyz[order], ff.desc[order], Ow, ff.octave[order],
+                X_sel, desc_sel, Ow, oct_sel,
                 cfg.orb.scale_factor, cfg.orb.n_levels)
             m, pt_idx = mapstate.add_points(
-                m, np_.xyz[order], ff.desc[order], normal, dmin, dmax,
-                ki, frame_id, sel_valid)
-            # observations of the new points in both keyframes
+                m, X_sel, desc_sel, normal, dmin, dmax, ki, frame_id,
+                sel_valid)
+            created = sel_valid & (pt_idx >= 0)
+            # current-KF observations of the new points
             m = mapstate.add_observations(
-                m, ki, pt_idx, ff.xy[order], ff.octave[order], sel_valid,
-                ur=kp_ur[order])
-            prev_j = np_.kp_prev[order]
+                m, ki, pt_idx, ff.xy[sel_i], oct_sel, created,
+                ur=kp_ur[sel_i])
+            # winning-neighbor observations + neighbor binding updates
+            prev_j = nps.kp_prev.reshape(-1)[order]
             prev_j_c = jnp.maximum(prev_j, 0)
-            m = mapstate.add_observations(
-                m, prev_kf_idx, pt_idx, prev_ff.xy[prev_j_c],
-                prev_ff.octave[prev_j_c], sel_valid & (prev_j >= 0))
-            # update bindings for the new KF
-            kp_pt_new = kp_pt.at[order].set(
-                jnp.where(sel_valid, pt_idx, kp_pt[order]))
-            return m, ki, kp_pt_new, jnp.sum(sel_valid.astype(jnp.int32))
+            Nkp = bank.kp_pt.shape[1]
+            for nn in range(cfg.tri_neighbors):
+                nb = nbr_idx[nn]
+                msk = created & (sel_nn == nn) & (prev_j >= 0)
+                m = mapstate.add_observations(
+                    m, nb, jnp.where(msk, pt_idx, -1),
+                    bank.xy[nb][prev_j_c], bank.octave[nb][prev_j_c], msk)
+                row = bank.kp_pt[nb].at[
+                    jnp.where(msk, prev_j_c, Nkp)].set(pt_idx, mode="drop")
+                bank = fbank.set_binding(bank, nb, row)
+            # updated bindings for the new KF
+            kp_pt_new = kp_pt.at[jnp.where(created, sel_i, N)].set(
+                pt_idx, mode="drop")
+            bank = fbank.set_binding(bank, ki, kp_pt_new)
+            return m, bank, ki, kp_pt_new, \
+                jnp.sum(created.astype(jnp.int32))
+
+        ba_mesh = None
+        if cfg.ba_mesh_shards > 1:
+            devs = jax.devices()
+            if len(devs) >= cfg.ba_mesh_shards:
+                ba_mesh = jax.sharding.Mesh(
+                    np.asarray(devs[:cfg.ba_mesh_shards]), ("shard",))
 
         @jax.jit
         def _local_ba(m, center_kf):
@@ -188,11 +249,37 @@ class System:
                 scale_factor=cfg.orb.scale_factor,
                 n_levels=cfg.orb.n_levels,
                 stereo_bf=cfg.stereo_bf,
+                mesh=ba_mesh,
                 cap_cams=cams, cap_pts=pts, cap_obs=obs)
+
+        @jax.jit
+        def _gnss_ba(m, center_kf, prior_pos, prior_w):
+            """GNSS-constrained BA over the temporal keyframe window
+            (the fork's LocalGNSSBundleAdjustment: all KFs, reprojection
+            + GNSS position priors — src/Optimizer.cc:1362-1604)."""
+            cams, pts, obs = cfg.ba_caps
+            return mapping.run_local_ba(
+                m, center_kf, cam_model, self.cam_params,
+                window=cfg.map_capacity.n_kf, iterations=cfg.local_ba_iters,
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels,
+                stereo_bf=cfg.stereo_bf,
+                prior_pos=prior_pos, prior_w=prior_w,
+                cap_cams=cfg.gnss_ba_cams, cap_pts=pts, cap_obs=obs,
+                window_mode="temporal")
 
         @jax.jit
         def _cull(m, frame_id):
             return mapstate.cull_points(m, frame_id)
+
+        @jax.jit
+        def _compact(m):
+            return mapstate.compact(m)
+
+        @jax.jit
+        def _remap_bindings(kp, remap):
+            P = remap.shape[0]
+            return jnp.where(kp >= 0, remap[jnp.clip(kp, 0, P - 1)], -1)
 
         @jax.jit
         def _fuse(m, kf_idx, ff, kp_pt):
@@ -211,7 +298,10 @@ class System:
         self._track = _track
         self._insert_kf_jit = _insert_kf
         self._local_ba = _local_ba
+        self._gnss_ba = _gnss_ba
         self._cull = _cull
+        self._compact = _compact
+        self._remap_bindings = _remap_bindings
         self._fuse = _fuse
         self._redundancy = _redundancy
 
@@ -219,12 +309,92 @@ class System:
     def _extract(self, img: jnp.ndarray) -> FeatureFrame:
         return extractor.extract_jit(img, self.cfg.orb)
 
+    def _ensure_bank(self, ff: FeatureFrame):
+        from ..slam_map import feature_bank as fbank
+        if self.bank is None or self.bank.xy.shape[1] != ff.capacity:
+            self.bank = fbank.empty_bank(self.cfg.map_capacity.n_kf,
+                                         ff.capacity)
+
+    def _bank_store(self, kf_idx: int, ff: FeatureFrame, kp_pt):
+        """Mirror a host-side (features, bindings) write into the bank."""
+        from ..slam_map import feature_bank as fbank
+        self._ensure_bank(ff)
+        self.bank = fbank.set_frame(self.bank, kf_idx, ff, kp_pt)
+
     def _frame_kp_ur(self, ff: FeatureFrame) -> jnp.ndarray:
         """Per-keypoint stereo right-u for the current frame (-1 = mono);
         overridden by StereoSystem."""
         return jnp.full(ff.xy.shape[0], -1.0, jnp.float32)
 
     # ------------------------------------------------------------------ api
+    def grab_gnss(self, ts: float, geo_xyz) -> None:
+        """Queue one GNSS fix (geo-frame position, e.g. EPSG3857 x/y/alt —
+        reference ImageGrabber GNSS sync pump + conversions.hpp).  Fixes
+        are re-based to the first fix to stay in f32 range."""
+        if self.georef is None:
+            return
+        p = np.asarray(geo_xyz, np.float64)
+        if self.gnss_origin is None:
+            self.gnss_origin = p.copy()
+        self.gnss_queue.append((ts, (p - self.gnss_origin).astype(
+            np.float32)))
+
+    def _gnss_keyframe_stage(self, ki: int, ts: float) -> None:
+        """Associate queued fixes to the new KF, update the Umeyama
+        georeference, and run the GNSS-constrained BA at cadence
+        (reference LocalMapping GNSS stage, src/LocalMapping.cc:155-189)."""
+        cfg = self.cfg
+        # nearest queued fix within tolerance
+        best = None
+        for (ft, fp) in self.gnss_queue:
+            if abs(ft - ts) <= cfg.gnss_time_tol and \
+                    (best is None or abs(ft - ts) < abs(best[0] - ts)):
+                best = (ft, fp)
+        self.gnss_queue = [q for q in self.gnss_queue
+                           if q[0] > ts - cfg.gnss_time_tol]
+        if best is None:
+            return
+        self.kf_gnss[ki] = best[1]
+        Ow = np.asarray(self.map.kf_R[ki]).T @ (-np.asarray(
+            self.map.kf_t[ki]))
+        self.georef.add_fix(Ow, best[1])
+        self.georef.update()
+        if not self.georef.initialized or \
+                ki % max(cfg.gnss_ba_every, 1) != 0:
+            return
+        # GNSS position priors pulled INTO the SLAM frame via the inverse
+        # georef Sim3 (keeps the map/gauge in SLAM coords; the reference
+        # instead optimizes in the geo frame — equivalent up to the Sim3)
+        T = self.georef.transform
+        R_i = np.asarray(T.R).T
+        s_i = 1.0 / max(float(T.s), 1e-9)
+        t_np = np.asarray(T.t)
+        K = self.cfg.map_capacity.n_kf
+        prior_pos = np.zeros((K, 3), np.float32)
+        prior_w = np.zeros(K, np.float32)
+        for k, fix in self.kf_gnss.items():
+            prior_pos[k] = s_i * (R_i @ (fix - t_np))
+            prior_w[k] = 1.0 / (cfg.gnss_sigma * s_i) ** 2
+        self.map = self._gnss_ba(self.map, jnp.asarray(ki, jnp.int32),
+                                 jnp.asarray(prior_pos),
+                                 jnp.asarray(prior_w))
+        self.R_cur = self.map.kf_R[ki]
+        self.t_cur = self.map.kf_t[ki]
+        self.R_prev, self.t_prev = self.R_cur, self.t_cur
+        self.has_velocity = False
+
+    def trajectory_geo(self) -> np.ndarray:
+        """(N,3) trajectory in the geo frame (+ origin re-base applied),
+        via the estimated georeference (GeometricReferencer::apply)."""
+        est = np.stack([p[2] for p in self.trajectory]) \
+            if self.trajectory else np.zeros((0, 3))
+        if self.georef is None or not self.georef.initialized:
+            return est
+        out = np.asarray(self.georef.apply(jnp.asarray(est)))
+        if self.gnss_origin is not None:
+            out = out + self.gnss_origin[None, :]
+        return out
+
     def track_monocular(self, img: Optional[jnp.ndarray], ts: float,
                         features: Optional[FeatureFrame] = None):
         """Process one frame.  Returns (state, Twc pose or None).
@@ -328,6 +498,8 @@ class System:
         self.kf_bindings[int(k1)] = kp_pt1
         self.kf_features[int(k2)] = ff
         self.kf_bindings[int(k2)] = kp_pt2
+        self._bank_store(int(k1), self.ref_ff, kp_pt1)
+        self._bank_store(int(k2), ff, kp_pt2)
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(m, int(k1), self.ref_ff)
             self.loop_closer.add_keyframe(m, int(k2), ff)
@@ -375,17 +547,13 @@ class System:
             self._insert_keyframe(ff, tr, ts)
 
     def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float):
-        prev_idx = self.last_kf_idx
-        prev_ff = self.kf_features[prev_idx]
-        prev_kp_pt = self.kf_bindings[prev_idx]
         kp_ur = self._frame_kp_ur(ff)
-        m, ki, kp_pt_new, n_new = self._insert_kf_jit(
-            self.map, ff, tr.kp_pt, tr.R, tr.t,
+        self._ensure_bank(ff)
+        m, bank, ki, kp_pt_new, n_new = self._insert_kf_jit(
+            self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
             jnp.asarray(ts, jnp.float32),
-            jnp.asarray(self.frame_id, jnp.int32),
-            prev_ff, prev_kp_pt,
-            self.map.kf_R[prev_idx], self.map.kf_t[prev_idx],
-            jnp.asarray(prev_idx, jnp.int32), kp_ur)
+            jnp.asarray(self.frame_id, jnp.int32), kp_ur)
+        self.bank = bank
         ki = int(ki)
         m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
         m = self._local_ba(m, jnp.asarray(ki, jnp.int32))
@@ -412,22 +580,50 @@ class System:
                                        self.kf_bindings[ki])
             self.map = m2
             self.kf_bindings[ki] = kp_pt2
+            from ..slam_map import feature_bank as fbank
+            self.bank = fbank.set_binding(self.bank, ki, kp_pt2)
         # KeyFrameCulling (reference src/LocalMapping.cc:902; the fork
         # disabled it because of pointer crashes — SoA has none)
         if self.cfg.kf_culling and ki > 6 and ki % 4 == 0:
             flags = self._redundancy(self.map, jnp.asarray(ki, jnp.int32))
             reds = np.nonzero(np.asarray(flags))[0]
             if len(reds):
-                from . import fusion
-                self.map = fusion.cull_keyframe(
-                    self.map, jnp.asarray(int(reds[0]), jnp.int32))
+                self._cull_keyframe(int(reds[0]))
+        # slot reclamation: compact points/observations when near capacity
+        # so culling/fusion-freed slots are reused (long-run safety — the
+        # add_* capacity guards otherwise start dropping new points)
+        if ki % 8 == 0:
+            cap = self.cfg.map_capacity
+            if int(self.map.n_pt) > 0.85 * cap.n_pt or \
+                    int(self.map.n_obs) > 0.85 * cap.n_obs:
+                self.map, remap = self._compact(self.map)
+                for k in list(self.kf_bindings):
+                    self.kf_bindings[k] = self._remap_bindings(
+                        self.kf_bindings[k], remap)
+                if self.bank is not None:
+                    self.bank = self.bank._replace(
+                        kp_pt=self._remap_bindings(self.bank.kp_pt, remap))
+        if self.georef is not None:
+            self._gnss_keyframe_stage(ki, ts)
         if self.loop_closer is not None:
-            merged = False
-            if self.atlas.sessions:
-                from . import map_merging
-                merged = map_merging.try_merge(self, ff, ki)
-            if not merged:
-                self.loop_closer.try_close(self, ff, ki)
+            if self.cfg.enable_loop_closing:
+                merged = False
+                if self.atlas.sessions:
+                    from . import map_merging
+                    merged = map_merging.try_merge(self, ff, ki)
+                if not merged:
+                    self.loop_closer.try_close(self, ff, ki)
+            else:
+                # reloc-only mode: keep the database fed, skip detection
+                self.loop_closer.add_keyframe(self.map, ki, ff)
+
+    def _cull_keyframe(self, kf_idx: int):
+        """Remove one redundant keyframe (reference KeyFrameCulling).
+        InertialSystem overrides to merge the preintegration chain
+        (reference IMU::Preintegrated::MergePrevious)."""
+        from . import fusion
+        self.map = fusion.cull_keyframe(self.map,
+                                        jnp.asarray(kf_idx, jnp.int32))
 
     # ----------------------------------------------------- loss / reloc
     def _handle_tracking_loss(self, ff) -> bool:
@@ -477,6 +673,16 @@ class System:
         self.lost_frames = 0
         self.kf_features.clear()
         self.kf_bindings.clear()
+        if self.bank is not None:
+            from ..slam_map import feature_bank as fbank
+            self.bank = fbank.empty_bank(self.bank.xy.shape[0],
+                                         self.bank.xy.shape[1])
+        # GNSS state is per-map (a fresh SLAM frame invalidates the Sim3)
+        self.kf_gnss.clear()
+        if self.georef is not None:
+            from ..geometry import georef as georef_mod
+            self.georef = georef_mod.GeometricReferencer(
+                min_kfs=self.cfg.gnss_min_kfs)
 
     # ------------------------------------------------------------ trajectory
     def trajectory_tum(self) -> str:
