@@ -161,13 +161,24 @@ def extract(img: jnp.ndarray, p: OrbParams) -> FeatureFrame:
     atlas = pack(pyr)
     atlas_blur = pack(blurred)
     xy_atlas = jnp.concatenate(xs_atlas)
-    # separate 2D slices for orientation (raw) and descriptors (blurred):
-    # a fused channels-last (H, W, 2) slice measured SLOWER (C=2 breaks
-    # the 128-lane tiling)
-    with jax.named_scope("orb_angle"):
-        angle = orient.ic_angle(atlas, xy_atlas)
-    with jax.named_scope("orb_brief"):
-        desc = brief.compute_descriptors(atlas_blur, xy_atlas, angle)
+    if jax.default_backend() not in ("cpu",):
+        # TPU: fused Pallas patch kernel — both atlases VMEM-resident,
+        # moments reduced in-kernel (replaces two serial dynamic-slice
+        # `while` loops measured at 2.2 ms/frame)
+        from ..ops import pallas_patches
+        with jax.named_scope("orb_patches"):
+            angle, P = pallas_patches.ic_angle_and_patches(
+                atlas, atlas_blur, xy_atlas)
+        with jax.named_scope("orb_brief"):
+            desc = brief.descriptors_from_patches(P, angle)
+    else:
+        # separate 2D slices for orientation (raw) and descriptors
+        # (blurred): a fused channels-last (H, W, 2) slice measured SLOWER
+        # (C=2 breaks the 128-lane tiling)
+        with jax.named_scope("orb_angle"):
+            angle = orient.ic_angle(atlas, xy_atlas)
+        with jax.named_scope("orb_brief"):
+            desc = brief.compute_descriptors(atlas_blur, xy_atlas, angle)
 
     return FeatureFrame(
         xy=jnp.concatenate(xs_lv), response=jnp.concatenate(rs),

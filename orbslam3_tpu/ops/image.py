@@ -43,18 +43,40 @@ def _gauss_kernel_np(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def gaussian_blur(img: jnp.ndarray, ksize: int = 5, sigma: float = 1.2) -> jnp.ndarray:
-    """Separable Gaussian with reflect-101 border (cv BORDER_REFLECT_101)."""
-    k = jnp.asarray(_gauss_kernel_np(ksize, sigma))
+@functools.lru_cache(maxsize=None)
+def _blur_band_np(n: int, ksize: int, sigma: float) -> np.ndarray:
+    """(n, n) banded 1-D Gaussian operator with BORDER_REFLECT_101 folded
+    into the boundary rows: out = B @ x."""
+    k = _gauss_kernel_np(ksize, sigma).astype(np.float64)
     r = ksize // 2
-    p = jnp.pad(img, ((r, r), (r, r)), mode="reflect")  # np reflect == REFLECT_101
-    # horizontal then vertical 1-D convs via conv_general_dilated
-    x = p[None, None, :, :]
-    kh = k.reshape(1, 1, 1, ksize)
-    kv = k.reshape(1, 1, ksize, 1)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
-    return x[0, 0]
+    B = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for t in range(-r, r + 1):
+            j = i + t
+            if j < 0:
+                j = -j          # reflect-101: -1 -> 1
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            B[i, j] += k[t + r]
+    return B.astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 5, sigma: float = 1.2) -> jnp.ndarray:
+    """Separable Gaussian with reflect-101 border (cv BORDER_REFLECT_101).
+
+    TPU design: a 1-input-channel lax.conv leaves the MXU idle and measured
+    ~3.6 ms/frame over the pyramid; the same operator as two banded
+    matmuls (out = Bv @ img @ Bh^T, boundary reflection folded into the
+    band matrices) is MXU work and measured ~50x faster.  HIGHEST matmul
+    precision keeps the result f32-exact (default bf16 rounding would
+    perturb blurred intensities by ~1 graylevel and flip near-tie BRIEF
+    comparisons).
+    """
+    h, w = img.shape
+    Bv = jnp.asarray(_blur_band_np(h, ksize, sigma))
+    Bh = jnp.asarray(_blur_band_np(w, ksize, sigma))
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.dot(Bv, jnp.dot(img, Bh.T, precision=hi), precision=hi)
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
@@ -67,5 +89,11 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     pyr = [img]
     for lv in range(1, n_levels):
         pyr.append(resize_bilinear(pyr[-1], shapes[lv]))
-    blurred = [gaussian_blur(p) for p in pyr]
+    # Round blurred levels to integers, matching the reference's uint8
+    # blurred image (cv::GaussianBlur on 8U).  This also makes the BRIEF
+    # one-hot sampling matmuls bit-exact on TPU: integers 0..255 are
+    # exactly representable in bf16, so the MXU's default bf16 input
+    # rounding is lossless (measured mean 13.6/256 bit TPU-vs-CPU
+    # descriptor divergence without it).
+    blurred = [jnp.round(gaussian_blur(p)) for p in pyr]
     return pyr, blurred
