@@ -41,6 +41,12 @@ def _lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.ingest_create2.restype = ctypes.c_void_p
+        lib.ingest_create2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.ingest_next.restype = ctypes.c_int
         lib.ingest_next.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_float),
@@ -66,22 +72,31 @@ class NativeIngest:
     def __init__(self, paths: list[str], out_hw: tuple[int, int],
                  remap: np.ndarray | None = None,
                  src_hw: tuple[int, int] | None = None,
+                 resize_hw: tuple[int, int] | None = None,
+                 clahe_clip: float = 0.0, clahe_grid: int = 8,
                  n_threads: int = 4, queue_cap: int = 8):
+        """Pipeline per frame: PNG decode -> bilinear `remap` (undistort /
+        rectify, shape (rh, rw, 2) source coords) -> resize to `resize_hw`
+        -> CLAHE (if clahe_clip > 0).  `out_hw` is the remap output size;
+        the emitted frame size is resize_hw or out_hw.  Mirrors the
+        reference grabber (image_grabber.hpp:96-110)."""
         lib = _lib()
         self._lib = lib
-        self.h, self.w = out_hw
+        rh, rw = out_hw
+        self.h, self.w = resize_hw if resize_hw is not None else out_hw
         sh, sw = src_hw if src_hw is not None else out_hw
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
         if remap is not None:
             remap_f = np.ascontiguousarray(remap, np.float32)
-            assert remap_f.shape == (self.h, self.w, 2)
+            assert remap_f.shape == (rh, rw, 2)
             rptr = remap_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             self._remap_keepalive = remap_f
         else:
             rptr = None
-        self._h = lib.ingest_create(arr, len(paths), rptr, self.h, self.w,
-                                    sh, sw, n_threads, queue_cap)
+        self._h = lib.ingest_create2(
+            arr, len(paths), rptr, rh, rw, self.h, self.w, sh, sw,
+            float(clahe_clip), int(clahe_grid), n_threads, queue_cap)
         self.n = len(paths)
         self._emitted = 0
 

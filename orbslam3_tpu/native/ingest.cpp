@@ -11,6 +11,10 @@
 //
 // Exposed C ABI (used from Python via ctypes — no pybind11 in this image):
 //   ingest_create(paths, n, remap, h, w, sw, sh, threads, queue_cap)
+//   ingest_create2(... + resize output dims + CLAHE clip/grid) — the full
+//     grabber pipeline: decode -> remap -> resize (INTER_LINEAR) -> CLAHE,
+//     matching image_grabber.hpp:103-108 (remap there is INTER_CUBIC; we
+//     use bilinear — sub-0.5-graylevel difference on smooth images).
 //   ingest_next(handle, out_frame, out_index)  -> 1 ok, 0 end
 //   ingest_destroy(handle)
 //
@@ -18,6 +22,7 @@
 
 #include <png.h>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -38,9 +43,12 @@ struct Frame {
 
 struct Ingest {
   std::vector<std::string> paths;
-  std::vector<float> remap;  // (h*w*2) source coords (x, y); empty = none
-  int out_h = 0, out_w = 0;  // output (undistorted) size
-  int src_h = 0, src_w = 0;  // source image size
+  std::vector<float> remap;  // (rh*rw*2) source coords (x, y); empty = none
+  int remap_h = 0, remap_w = 0;  // undistorted (pre-resize) size
+  int out_h = 0, out_w = 0;      // final output size (post-resize)
+  int src_h = 0, src_w = 0;      // source image size
+  float clahe_clip = 0.0f;       // <= 0: CLAHE off
+  int clahe_grid = 8;
   int queue_cap = 8;
 
   std::vector<std::thread> workers;
@@ -120,6 +128,107 @@ void apply_remap(const std::vector<float>& src, int sh, int sw,
   }
 }
 
+// cv::resize INTER_LINEAR semantics: src = (dst + 0.5) * scale - 0.5.
+void resize_bilinear(const std::vector<float>& src, int sh, int sw,
+                     int oh, int ow, std::vector<float>* dst) {
+  dst->resize(static_cast<size_t>(oh) * ow);
+  const float sy = static_cast<float>(sh) / oh;
+  const float sx = static_cast<float>(sw) / ow;
+  for (int y = 0; y < oh; ++y) {
+    float my = (y + 0.5f) * sy - 0.5f;
+    if (my < 0) my = 0;
+    if (my > sh - 1.001f) my = sh - 1.001f;
+    const int y0 = static_cast<int>(my);
+    const float fy = my - y0;
+    const float* r0 = src.data() + static_cast<size_t>(y0) * sw;
+    const float* r1 = r0 + sw;
+    for (int x = 0; x < ow; ++x) {
+      float mx = (x + 0.5f) * sx - 0.5f;
+      if (mx < 0) mx = 0;
+      if (mx > sw - 1.001f) mx = sw - 1.001f;
+      const int x0 = static_cast<int>(mx);
+      const float fx = mx - x0;
+      (*dst)[static_cast<size_t>(y) * ow + x] =
+          (r0[x0] * (1 - fx) + r0[x0 + 1] * fx) * (1 - fy) +
+          (r1[x0] * (1 - fx) + r1[x0 + 1] * fx) * fy;
+    }
+  }
+}
+
+// CLAHE (contrast-limited adaptive histogram equalization), the
+// cv::createCLAHE(clip, grid) algorithm the reference grabber constructs
+// (image_grabber.hpp:47): per-tile clipped 256-bin histogram -> CDF LUT,
+// bilinear interpolation between the 4 surrounding tile LUTs.  Input is
+// grayscale float 0..255 (quantized to bins by rounding); clipped excess
+// is redistributed evenly across bins.
+void apply_clahe(const std::vector<float>& src, int h, int w, float clip,
+                 int grid, std::vector<float>* dst) {
+  const int gh = grid, gw = grid;
+  const int th = (h + gh - 1) / gh, tw = (w + gw - 1) / gw;
+  const int tile_area = th * tw;
+  std::vector<float> lut(static_cast<size_t>(gh) * gw * 256);
+  std::vector<int> hist(256);
+  for (int ty = 0; ty < gh; ++ty) {
+    for (int tx = 0; tx < gw; ++tx) {
+      std::fill(hist.begin(), hist.end(), 0);
+      // histogram over the tile, reading reflected samples where the
+      // padded tile extends past the image (cv pads to a tile multiple
+      // with BORDER_REFLECT_101)
+      for (int y = ty * th; y < (ty + 1) * th; ++y) {
+        int yy = y < h ? y : 2 * (h - 1) - y;
+        const float* row = src.data() + static_cast<size_t>(yy) * w;
+        for (int x = tx * tw; x < (tx + 1) * tw; ++x) {
+          int xx = x < w ? x : 2 * (w - 1) - x;
+          int b = static_cast<int>(row[xx] + 0.5f);
+          hist[b < 0 ? 0 : (b > 255 ? 255 : b)]++;
+        }
+      }
+      const int climit =
+          std::max(1, static_cast<int>(clip * tile_area / 256.0f));
+      int excess = 0;
+      for (int b = 0; b < 256; ++b)
+        if (hist[b] > climit) {
+          excess += hist[b] - climit;
+          hist[b] = climit;
+        }
+      const int bonus = excess / 256, resid = excess % 256;
+      for (int b = 0; b < 256; ++b) hist[b] += bonus + (b < resid ? 1 : 0);
+      const float scale = 255.0f / tile_area;
+      int cdf = 0;
+      float* tl = lut.data() + (static_cast<size_t>(ty) * gw + tx) * 256;
+      for (int b = 0; b < 256; ++b) {
+        cdf += hist[b];
+        tl[b] = scale * cdf;
+      }
+    }
+  }
+  dst->resize(static_cast<size_t>(h) * w);
+  for (int y = 0; y < h; ++y) {
+    const float gy = (y + 0.5f) / th - 0.5f;
+    int ty0 = static_cast<int>(gy < 0 ? 0 : gy);
+    if (ty0 > gh - 2) ty0 = gh - 2;
+    float fy = gy - ty0;
+    fy = fy < 0 ? 0 : (fy > 1 ? 1 : fy);
+    const float* row = src.data() + static_cast<size_t>(y) * w;
+    float* out = dst->data() + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      const float gx = (x + 0.5f) / tw - 0.5f;
+      int tx0 = static_cast<int>(gx < 0 ? 0 : gx);
+      if (tx0 > gw - 2) tx0 = gw - 2;
+      float fx = gx - tx0;
+      fx = fx < 0 ? 0 : (fx > 1 ? 1 : fx);
+      int b = static_cast<int>(row[x] + 0.5f);
+      b = b < 0 ? 0 : (b > 255 ? 255 : b);
+      const float* l00 = lut.data() + (static_cast<size_t>(ty0) * gw + tx0) * 256;
+      const float* l01 = l00 + 256;
+      const float* l10 = l00 + static_cast<size_t>(gw) * 256;
+      const float* l11 = l10 + 256;
+      out[x] = (l00[b] * (1 - fx) + l01[b] * fx) * (1 - fy) +
+               (l10[b] * (1 - fx) + l11[b] * fx) * fy;
+    }
+  }
+}
+
 void worker(Ingest* ing) {
   while (!ing->stop.load()) {
     const int idx = ing->next_to_fetch.fetch_add(1);
@@ -129,10 +238,42 @@ void worker(Ingest* ing) {
     Frame f;
     f.index = idx;
     if (decode_png_gray(ing->paths[idx].c_str(), &img, &w, &h)) {
+      // stage 1: undistort/rectify remap (to remap_h x remap_w)
+      std::vector<float> cur;
+      int ch = h, cw = w;
+      bool ok = true;
       if (!ing->remap.empty()) {
-        apply_remap(img, h, w, ing->remap, ing->out_h, ing->out_w, &f.data);
-      } else if (w == ing->out_w && h == ing->out_h) {
-        f.data = std::move(img);
+        apply_remap(img, h, w, ing->remap, ing->remap_h, ing->remap_w, &cur);
+        ch = ing->remap_h;
+        cw = ing->remap_w;
+      } else {
+        cur = std::move(img);
+      }
+      // stage 2: resize to the final output size
+      if (ok && (ch != ing->out_h || cw != ing->out_w)) {
+        if (ing->remap.empty() && (ch < 2 || cw < 2)) {
+          ok = false;  // degenerate source
+        } else if (ing->remap.empty() &&
+                   (ch != ing->src_h || cw != ing->src_w) && ing->src_h > 0) {
+          // decoded size != declared source size with no remap: reject
+          // rather than silently rescaling a corrupt frame
+          ok = false;
+        } else {
+          std::vector<float> rs;
+          resize_bilinear(cur, ch, cw, ing->out_h, ing->out_w, &rs);
+          cur = std::move(rs);
+          ch = ing->out_h;
+          cw = ing->out_w;
+        }
+      }
+      // stage 3: CLAHE
+      if (ok && ing->clahe_clip > 0.0f) {
+        std::vector<float> eq;
+        apply_clahe(cur, ch, cw, ing->clahe_clip, ing->clahe_grid, &eq);
+        cur = std::move(eq);
+      }
+      if (ok && ch == ing->out_h && cw == ing->out_w) {
+        f.data = std::move(cur);
       } else {
         // decoded size != declared output size: treat as a failed frame
         // (a larger image would otherwise overflow the caller's buffer)
@@ -159,23 +300,38 @@ void worker(Ingest* ing) {
 
 extern "C" {
 
-void* ingest_create(const char** paths, int n_paths, const float* remap,
-                    int out_h, int out_w, int src_h, int src_w,
-                    int n_threads, int queue_cap) {
+// Full grabber pipeline: decode -> remap (remap_h x remap_w) -> resize
+// (out_h x out_w) -> CLAHE (clahe_clip <= 0 disables).
+void* ingest_create2(const char** paths, int n_paths, const float* remap,
+                     int remap_h, int remap_w, int out_h, int out_w,
+                     int src_h, int src_w, float clahe_clip, int clahe_grid,
+                     int n_threads, int queue_cap) {
   auto* ing = new Ingest();
   ing->paths.reserve(n_paths);
   for (int i = 0; i < n_paths; ++i) ing->paths.emplace_back(paths[i]);
   if (remap != nullptr) {
-    ing->remap.assign(remap, remap + static_cast<size_t>(out_h) * out_w * 2);
+    ing->remap.assign(remap,
+                      remap + static_cast<size_t>(remap_h) * remap_w * 2);
   }
+  ing->remap_h = remap_h;
+  ing->remap_w = remap_w;
   ing->out_h = out_h;
   ing->out_w = out_w;
   ing->src_h = src_h;
   ing->src_w = src_w;
+  ing->clahe_clip = clahe_clip;
+  ing->clahe_grid = clahe_grid > 1 ? clahe_grid : 8;
   ing->queue_cap = queue_cap > 1 ? queue_cap : 2;
   const int nt = n_threads > 0 ? n_threads : 2;
   for (int i = 0; i < nt; ++i) ing->workers.emplace_back(worker, ing);
   return ing;
+}
+
+void* ingest_create(const char** paths, int n_paths, const float* remap,
+                    int out_h, int out_w, int src_h, int src_w,
+                    int n_threads, int queue_cap) {
+  return ingest_create2(paths, n_paths, remap, out_h, out_w, out_h, out_w,
+                        src_h, src_w, 0.0f, 8, n_threads, queue_cap);
 }
 
 int ingest_next(void* handle, float* out, int* out_index) {
