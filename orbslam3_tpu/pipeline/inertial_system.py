@@ -403,9 +403,9 @@ class InertialSystem(base.System):
         return self.tbc_vec
 
     # -------------------------------------------------------------- keyframe
-    def _insert_keyframe(self, ff, tr, ts):
+    def _insert_keyframe(self, ff, tr, ts, n_inl=None):
         prev_idx = self.last_kf_idx
-        prev_ts = float(self.map.kf_ts[prev_idx])
+        prev_ts = self.last_kf_ts    # host mirror — no device round trip
         # finalize KF-interval preintegration from the buffered samples
         st = self._preintegrate_buffer(prev_ts, ts)
         if self.imu_initialized:
@@ -415,11 +415,11 @@ class InertialSystem(base.System):
             self._visual_local_ba = self._local_ba
             self._local_ba = self._vi_ba_dispatch
             try:
-                super()._insert_keyframe(ff, tr, ts)
+                super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)
             finally:
                 self._local_ba = self._visual_local_ba
         else:
-            super()._insert_keyframe(ff, tr, ts)
+            super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)
         new_idx = self.last_kf_idx
         if st is not None:
             pre, raw = st

@@ -98,6 +98,7 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         for k, b in system.kf_bindings.items():
             new_bindings[k + kf_off] = jnp.where(b >= 0, b + pt_off, -1)
         system.map = merged
+        system.n_kf_host = int(merged.n_kf)   # resync the host mirror
         system.kf_features = new_features
         system.kf_bindings = new_bindings
         # rebuild the device feature bank over the merged keyframe set

@@ -323,6 +323,8 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                  stereo_bf: float = 0.0,
                  mesh=None, mesh_axis: str = "shard",
                  prior_pos=None, prior_w=None,
+                 pcg_iters: int = 32,
+                 schur_solver: str = "auto",
                  **caps):
     """Local BA on a covisibility keyframe window + outlier observation
     culling (reference LocalBundleAdjustment, 10 its, then removes
@@ -346,8 +348,14 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                           obs_chi2=jnp.zeros_like(prob.obs_inv_sigma2),
                           cost=jnp.zeros(()))
     else:
+        if schur_solver == "auto":
+            # window-sized problems: direct (6K,6K) Schur solve beats the
+            # PCG chain (dozens of dependent kernels = device latency)
+            schur_solver = "dense" if prob.R.shape[0] <= 32 else "pcg"
         res = ba.bundle_adjust(prob, cam_model, cam_params,
-                               iterations=iterations, stereo_bf=stereo_bf)
+                               iterations=iterations, stereo_bf=stereo_bf,
+                               pcg_iters=pcg_iters,
+                               schur_solver=schur_solver)
     # scatter back optimized cameras/points
     K = m.kf_R.shape[0]
     P = m.pt_xyz.shape[0]

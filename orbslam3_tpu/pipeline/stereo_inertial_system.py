@@ -35,8 +35,8 @@ class StereoInertialSystem(inertial_system.InertialSystem):
     _stereo_initialize = stereo_system.StereoSystem._stereo_initialize
     _frame_kp_ur = stereo_system.StereoSystem._frame_kp_ur
 
-    def _insert_keyframe(self, ff, tr, ts):
-        super()._insert_keyframe(ff, tr, ts)
+    def _insert_keyframe(self, ff, tr, ts, n_inl=None):
+        super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)
         # depth-based new points (same post-step as StereoSystem)
         stereo_system.StereoSystem._stereo_new_points(self, ff)
 

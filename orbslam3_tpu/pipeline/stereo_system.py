@@ -97,6 +97,8 @@ class StereoSystem(base.System):
         self.state = base.OK
         self.last_kf_id = self.frame_id
         self.last_kf_idx = int(k0)
+        self.n_kf_host = 1
+        self.last_kf_ts = ts
         self.kf_features[int(k0)] = ff
         self.kf_bindings[int(k0)] = jnp.where(ok, pt_idx, -1)
         self._bank_store(int(k0), ff, self.kf_bindings[int(k0)])
@@ -107,8 +109,9 @@ class StereoSystem(base.System):
         return jnp.where(d.valid, d.ur, -1.0)
 
     # ------------------------------------------------------------- keyframe
-    def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float):
-        super()._insert_keyframe(ff, tr, ts)
+    def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float,
+                         n_inl: int | None = None):
+        super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)
         self._stereo_new_points(ff)
 
     def _stereo_new_points(self, ff: FeatureFrame):

@@ -60,8 +60,15 @@ class SlamConfig:
     new_pt_budget: int = 768
     tri_neighbors: int = 4     # triangulation partners (1 temporal + covis)
     local_ba_window: int = 8
-    local_ba_iters: int = 10
-    ba_caps: tuple = (32, 6144, 24576)  # cams, pts, obs for local BA
+    # 6 LM x 12-iteration PCG: the window problem is warm-started at every
+    # keyframe (the reference's g2o runs 5+10 but early-stops); 10x32 was
+    # latency-bound — 320 dependent device steps dominated the KF frame
+    # (measured 340 ms -> this schedule + right-sized caps ~3x faster)
+    local_ba_iters: int = 6
+    ba_pcg_iters: int = 12
+    # cams/pts/obs capacities sized to the 8-KF window + fixed anchors at
+    # ~1200 features/KF (32/6144/24576 was 2x oversized -> 2x wasted work)
+    ba_caps: tuple = (16, 4096, 12288)
     # >1: run the pipeline's local BA sharded over this many devices
     # (points+observations partitioned, reduced system psum'd over the
     # mesh — parallel/dist_ba); 0/1 = single-device solve
@@ -113,6 +120,12 @@ class System:
         self.inliers_at_last_kf = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_resets = 0
+        # host mirror of map.n_kf / last KF timestamp: keyframe indices are
+        # host-predictable (append-only), so the hot path never has to
+        # round-trip the device for them (each sync costs a full
+        # host<->TPU RTT); resynced on map merges
+        self.n_kf_host = 0
+        self.last_kf_ts = 0.0
         # the keyframe database backs BOTH loop closing and relocalization
         # (the reference keeps the KFDB alive even with loop closing off —
         # src/System.cc:93; reloc must not require loop closing)
@@ -250,6 +263,7 @@ class System:
                 n_levels=cfg.orb.n_levels,
                 stereo_bf=cfg.stereo_bf,
                 mesh=ba_mesh,
+                pcg_iters=cfg.ba_pcg_iters,
                 cap_cams=cams, cap_pts=pts, cap_obs=obs)
 
         @jax.jit
@@ -257,7 +271,8 @@ class System:
             """GNSS-constrained BA over the temporal keyframe window
             (the fork's LocalGNSSBundleAdjustment: all KFs, reprojection
             + GNSS position priors — src/Optimizer.cc:1362-1604)."""
-            cams, pts, obs = cfg.ba_caps
+            # full-map window: keep the large pts/obs capacities (the
+            # local-BA caps are sized for the 8-KF window only)
             return mapping.run_local_ba(
                 m, center_kf, cam_model, self.cam_params,
                 window=cfg.map_capacity.n_kf, iterations=cfg.local_ba_iters,
@@ -265,12 +280,26 @@ class System:
                 n_levels=cfg.orb.n_levels,
                 stereo_bf=cfg.stereo_bf,
                 prior_pos=prior_pos, prior_w=prior_w,
-                cap_cams=cfg.gnss_ba_cams, cap_pts=pts, cap_obs=obs,
+                cap_cams=cfg.gnss_ba_cams, cap_pts=6144, cap_obs=24576,
                 window_mode="temporal")
 
         @jax.jit
         def _cull(m, frame_id):
             return mapstate.cull_points(m, frame_id)
+
+        @jax.jit
+        def _renorm_init(m, kf2):
+            """Rescale the whole init map so the median point depth in the
+            second keyframe is 1 (reference Tracking.cc:698-729, applied
+            after the initial global BA)."""
+            Xc = lie.se3_apply(m.kf_R[kf2], m.kf_t[kf2], m.pt_xyz)
+            depth = jnp.where(m.pt_valid & (Xc[:, 2] > 0), Xc[:, 2], jnp.nan)
+            med = jnp.nanmedian(depth)
+            s = jnp.where(jnp.isfinite(med) & (med > 1e-6), 1.0 / med, 1.0)
+            # pt_min/max_dist stay untouched: they were computed at the
+            # pre-BA median-depth-1 scale, which is exactly the scale this
+            # renormalization restores
+            return m._replace(pt_xyz=m.pt_xyz * s, kf_t=m.kf_t * s)
 
         @jax.jit
         def _compact(m):
@@ -284,9 +313,14 @@ class System:
         @jax.jit
         def _fuse(m, kf_idx, ff, kp_pt):
             from . import fusion
-            return fusion.fuse_into_keyframe(
+            m2, kp_pt2, n_fused = fusion.fuse_into_keyframe(
                 m, kf_idx, ff, kp_pt, cam_model, self.cam_params,
                 cfg.image_hw, cfg.orb.scale_factor, cfg.orb.n_levels)
+            # reference ends SearchInNeighbors with
+            # ComputeDistinctiveDescriptors on every touched point
+            # (src/LocalMapping.cc:838-843)
+            m2 = fusion.refresh_point_descriptors(m2, ff, kp_pt2)
+            return m2, kp_pt2, n_fused
 
         @jax.jit
         def _redundancy(m, center):
@@ -303,6 +337,7 @@ class System:
         self._compact = _compact
         self._remap_bindings = _remap_bindings
         self._fuse = _fuse
+        self._renorm_init = _renorm_init
         self._redundancy = _redundancy
 
     # ------------------------------------------------------------- frontend
@@ -480,6 +515,13 @@ class System:
                                       ff.octave[j], tri & mm.valid)
         # global BA on the 2-view map (reference: 20 iterations)
         m = self._local_ba(m, jnp.asarray(1, jnp.int32))
+        # renormalize to median depth 1 AFTER the BA (reference
+        # src/Tracking.cc:698-729 does it post-GBA): the monocular gauge
+        # leaves global scale free, and the BA drifts it — the points'
+        # creation-time pt_min/max_dist scale gates would then reject
+        # every projection candidate (tracked down as 0-inlier tracking
+        # right after init)
+        m = self._renorm_init(m, k2)
 
         self.map = m
         self.R_cur, self.t_cur = m.kf_R[k2], m.kf_t[k2]
@@ -488,6 +530,8 @@ class System:
         self.state = OK
         self.last_kf_id = self.frame_id
         self.last_kf_idx = int(k2)
+        self.n_kf_host = 2
+        self.last_kf_ts = ts
         # bindings: cur frame keypoint j <-> point; ref frame keypoint i
         N = ff.xy.shape[0]
         kp_pt2 = jnp.full(N, -1, jnp.int32)
@@ -543,10 +587,11 @@ class System:
         # keyframe decision (reference src/Tracking.cc:985-1005)
         need_kf = (self.frame_id - self.last_kf_id >= cfg.max_frames_between_kf) or \
             (n_inl < cfg.kf_inlier_ratio * max(self.inliers_at_last_kf, 1))
-        if need_kf and int(self.map.n_kf) < cfg.map_capacity.n_kf - 1:
-            self._insert_keyframe(ff, tr, ts)
+        if need_kf and self.n_kf_host < cfg.map_capacity.n_kf - 1:
+            self._insert_keyframe(ff, tr, ts, n_inl=n_inl)
 
-    def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float):
+    def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float,
+                         n_inl: int | None = None):
         kp_ur = self._frame_kp_ur(ff)
         self._ensure_bank(ff)
         m, bank, ki, kp_pt_new, n_new = self._insert_kf_jit(
@@ -554,7 +599,10 @@ class System:
             jnp.asarray(ts, jnp.float32),
             jnp.asarray(self.frame_id, jnp.int32), kp_ur)
         self.bank = bank
-        ki = int(ki)
+        # add_keyframe appends at index n_kf: host-predictable, no sync
+        ki = self.n_kf_host
+        self.n_kf_host += 1
+        self.last_kf_ts = ts
         m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
         m = self._local_ba(m, jnp.asarray(ki, jnp.int32))
         self.map = m
@@ -571,7 +619,8 @@ class System:
         self.kf_bindings[ki] = kp_pt_new
         self.last_kf_idx = ki
         self.last_kf_id = self.frame_id
-        self.inliers_at_last_kf = int(tr.n_inliers)
+        self.inliers_at_last_kf = \
+            n_inl if n_inl is not None else int(tr.n_inliers)
         # SearchInNeighbors: fuse map points into this keyframe
         # (reference src/LocalMapping.cc:764; cadence-limited here)
         if self.cfg.fuse_every_n_kf and ki % self.cfg.fuse_every_n_kf == 0:
@@ -667,6 +716,8 @@ class System:
                                  self.kf_bindings, self.trajectory, db=db)
         self.trajectory = []
         self.state = NO_IMAGES_YET
+        self.n_kf_host = 0
+        self.last_kf_ts = 0.0
         self.map = mapstate.empty_map(self.cfg.map_capacity)
         self.ref_ff = None
         self.has_velocity = False

@@ -299,12 +299,82 @@ def _solve_schur(Hcc, bc, Hpp, bp, Cobs, obs_cam, obs_pt, lam,
     return dx_cam, dx_pt
 
 
+def _chol3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form Cholesky of SPD 3x3 blocks (lower L, A=LL^T)."""
+    eps = 1e-12
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    l11 = jnp.sqrt(jnp.maximum(a11, eps))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, eps))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack([jnp.stack([l11, z, z], -1),
+                      jnp.stack([l21, l22, z], -1),
+                      jnp.stack([l31, l32, l33], -1)], -2)
+
+
+def _solve_schur_dense(Hcc, bc, Hpp, bp, Cobs, obs_cam, obs_pt, lam,
+                       cam_fixed, pt_valid):
+    """One LM step via the EXPLICIT (6K, 6K) Schur complement.
+
+    For window-sized problems (K <= ~32) the reduced camera system is
+    tiny; a direct solve replaces the PCG iteration chain, whose dozens
+    of small dependent kernels are pure device latency (measured: the
+    10x32 LM/PCG schedule made local BA 340 ms — the dominant cost of a
+    keyframe frame).  S is assembled without the (K, P, 6, 3) coupling
+    tensor: with L_p = chol(Hpp_inv_p), the scatter
+    G[cam_n, pt_n] += Cobs_n L_{pt_n} gives  sum_p C Hppinv C^T = G G^T
+    as ONE (6K, 3P) @ (3P, 6K) matmul on the MXU.
+    """
+    P = Hpp.shape[0]
+    K = Hcc.shape[0]
+    Hcc_d = Hcc + lam * jnp.eye(6)[None]
+    Hpp_d = Hpp + lam * jnp.eye(3)[None]
+    pt_on = pt_valid.astype(jnp.float32)[:, None, None]
+    Hpp_d = Hpp_d * pt_on + jnp.eye(3)[None] * (1 - pt_on)
+    Hpp_inv = _spd_inv3(Hpp_d)
+    L = _chol3(Hpp_inv)
+    free = (~cam_fixed).astype(jnp.float32)
+
+    U = jnp.einsum("nij,njl->nil", Cobs, L[obs_pt], precision=_HI)
+    G = jnp.zeros((K, P, 6, 3)).at[obs_cam, obs_pt].add(U)
+    Gr = G.transpose(0, 2, 1, 3).reshape(K * 6, P * 3)
+    S_off = jnp.dot(Gr, Gr.T, precision=_HI).reshape(K, 6, K, 6)
+
+    CW = jnp.einsum("nij,njl->nil", Cobs, Hpp_inv[obs_pt], precision=_HI)
+    rv = jnp.einsum("nil,nl->ni", CW, bp[obs_pt], precision=_HI)
+    rhs = (bc - jnp.zeros((K, 6)).at[obs_cam].add(rv)) * free[:, None]
+
+    S = jnp.zeros((K, 6, K, 6))
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+    S = S - S_off
+    # fixed cameras: identity rows/cols, zero rhs
+    ff = free[:, None, None, None] * free[None, None, :, None]
+    S = S * ff
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+        jnp.eye(6)[None] * (1 - free)[:, None, None])
+    dx_cam = jnp.linalg.solve(S.reshape(K * 6, K * 6),
+                              rhs.reshape(K * 6)).reshape(K, 6)
+    dx_cam = dx_cam * free[:, None]
+
+    # back-substitute points: dx_p = Hpp_inv (bp - C^T dx_cam)
+    u = jnp.einsum("nij,ni->nj", Cobs, dx_cam[obs_cam], precision=_HI)
+    s = jnp.zeros((P, 3)).at[obs_pt].add(u)
+    dx_pt = jnp.einsum("pij,pj->pi", Hpp_inv, bp - s, precision=_HI)
+    dx_pt = dx_pt * pt_valid.astype(jnp.float32)[:, None]
+    return dx_cam, dx_pt
+
+
 def bundle_adjust(prob: BAProblem, cam_model: str, cam_params,
                   iterations: int = 10, lam0: float = 1e-5,
                   chi2_th: float = robust.CHI2_MONO,
                   use_robust: bool = True,
                   stereo_bf: float = 0.0,
-                  pcg_iters: int = 32) -> BAResult:
+                  pcg_iters: int = 32,
+                  schur_solver: str = "pcg") -> BAResult:
     """LM loop with branch-free accept/reject (reference uses g2o LM;
     iteration counts per call site: 20 init GBA, 10 local, 25 inertial)."""
 
@@ -313,10 +383,15 @@ def bundle_adjust(prob: BAProblem, cam_model: str, cam_params,
         Hcc, bc, Hpp, bp, Cobs, cur_cost, _, _ = _build_normal_eq(
             prob, R, t, X, cam_model, cam_params, chi2_th, use_robust,
             stereo_bf)
-        dx_cam, dx_pt = _solve_schur(Hcc, bc, Hpp, bp, Cobs,
-                                     prob.obs_cam, prob.obs_pt, lam,
-                                     prob.cam_fixed, prob.pt_valid,
-                                     pcg_iters=pcg_iters)
+        if schur_solver == "dense":
+            dx_cam, dx_pt = _solve_schur_dense(
+                Hcc, bc, Hpp, bp, Cobs, prob.obs_cam, prob.obs_pt, lam,
+                prob.cam_fixed, prob.pt_valid)
+        else:
+            dx_cam, dx_pt = _solve_schur(Hcc, bc, Hpp, bp, Cobs,
+                                         prob.obs_cam, prob.obs_pt, lam,
+                                         prob.cam_fixed, prob.pt_valid,
+                                         pcg_iters=pcg_iters)
         dR, dt = lie.se3_exp(dx_cam)
         R_new, t_new = lie.se3_compose(dR, dt, R, t)
         R_new = lie.normalize_rotation(R_new)

@@ -227,13 +227,3 @@ class TestBriefBinned:
         assert np.median(dist) < 25, np.median(dist)
 
 
-class TestPallasHamming:
-    def test_matches_matmul_formulation(self):
-        from orbslam3_tpu.ops import pallas_kernels
-        rng = np.random.default_rng(21)
-        a = jnp.asarray(rng.integers(0, 2**32, (200, 8), dtype=np.uint32))
-        b = jnp.asarray(rng.integers(0, 2**32, (150, 8), dtype=np.uint32))
-        d_ref = np.asarray(brief.hamming_distance(a, b))
-        d_pl = np.asarray(pallas_kernels.hamming_distance_pallas(
-            a, b, interpret=True))
-        np.testing.assert_array_equal(d_pl, d_ref)
