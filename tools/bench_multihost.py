@@ -1,0 +1,161 @@
+"""Multi-host weak-scaling benchmark for the distributed Schur BA.
+
+CONSTANT WORK PER SHARD: every shard owns the same number of points and
+observations, so perfect scaling keeps the per-LM-iteration time flat as
+processes are added (efficiency = t_1proc / t_Nproc, ideal 1.0).  This
+is the measurement the strong-scaling ratio in bench_scaling.py is not.
+
+Two modes:
+  launcher (default):  spawns N worker processes on this machine, each
+    with --xla_force_host_platform_device_count virtual CPU devices and
+    a Gloo DCN between them — the multi-controller topology of a real
+    multi-host TPU pod, minus the ICI speed.  Prints one JSON line.
+  worker (SLAM_NUM_PROCESSES set): jax.distributed.initialize, build
+    the global mesh, run the engine's dist_ba, rank 0 reports timing.
+
+On real multi-host TPU hardware run one process per host with
+SLAM_COORDINATOR / SLAM_NUM_PROCESSES / SLAM_PROCESS_ID set by the
+cluster scheduler; nothing else changes.
+
+CAVEAT on local numbers: virtual CPU "devices" all share this
+machine's physical cores, so adding a process oversubscribes compute
+and the measured efficiency bounds the HARNESS, not the algorithm
+(this box has 4 cores; 2 procs x 2 devs measures ~0.6).  The number
+that matters must come from real multi-host hardware; this tool is the
+ready-to-run methodology (constant work per shard, DCN collectives).
+
+Usage: python tools/bench_multihost.py [--procs 2] [--dev-per-proc 4]
+       [--obs-per-shard 8192] [--iters 4]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def worker(args):
+    from orbslam3_tpu.parallel import multihost
+
+    pid = multihost.initialize_from_env()
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.ops import cameras, lie
+    from orbslam3_tpu.parallel import dist_ba
+    from orbslam3_tpu.solver import ba
+
+    mesh = multihost.global_mesh()
+    n_shards = mesh.devices.size
+    K4 = jnp.asarray([458.654, 457.296, 367.215, 248.375], jnp.float32)
+    C = args.cams
+    P = args.pts_per_shard * n_shards
+    O = args.obs_per_shard * n_shards
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(0, 1, (P, 3)) * [2, 2, 1] + [0, 0, 8],
+                    jnp.float32)
+    R = jnp.tile(jnp.eye(3)[None], (C, 1, 1))
+    t = jnp.asarray(np.stack([np.linspace(0, 2, C),
+                              np.zeros(C), np.zeros(C)], 1), jnp.float32)
+    obs_cam = jnp.asarray(rng.integers(0, C, O), jnp.int32)
+    obs_pt = jnp.asarray(np.arange(O) % P, jnp.int32)
+    uv = cameras.pinhole_project(
+        K4, lie.se3_apply(R[obs_cam], t[obs_cam], X[obs_pt]))
+    uv = uv + jnp.asarray(rng.normal(0, 0.5, (O, 2)), jnp.float32)
+    prob = ba.BAProblem(
+        R=R, t=t, cam_fixed=jnp.arange(C) == 0,
+        cam_valid=jnp.ones(C, bool),
+        X=X + jnp.asarray(rng.normal(0, 0.02, (P, 3)), jnp.float32),
+        pt_valid=jnp.ones(P, bool),
+        obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=uv,
+        obs_inv_sigma2=jnp.ones(O), obs_valid=jnp.ones(O, bool))
+
+    dprob = dist_ba.partition_problem(prob, n_shards)
+    run = lambda: dist_ba.dist_bundle_adjust(
+        prob=dprob, mesh=mesh, cam_model="pinhole", cam_params=K4,
+        iterations=args.iters)
+    jax.block_until_ready(run())              # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (3 * args.iters)
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "n_processes": jax.process_count(),
+            "n_shards": n_shards,
+            "obs_total": O,
+            "ms_per_lm_iter": round(dt * 1000, 2),
+        }), flush=True)
+
+
+def launch(args):
+    results = {}
+    for n_proc in (1, args.procs):
+        procs = []
+        port = 29500 + n_proc
+        for pid in range(n_proc):
+            env = dict(os.environ)
+            env["SLAM_NUM_PROCESSES"] = str(n_proc)
+            env["SLAM_PROCESS_ID"] = str(pid)
+            env["SLAM_COORDINATOR"] = f"127.0.0.1:{port}"
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                f" --xla_force_host_platform_device_count="
+                                f"{args.dev_per_proc}")
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker"] +
+                _forward_args(args), env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True))
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        assert all(p.returncode == 0 for p in procs), \
+            f"worker failed at n_proc={n_proc}"
+        line = next(l for l in outs[0].splitlines() if l.startswith("{"))
+        results[n_proc] = json.loads(line)
+    t1 = results[1]["ms_per_lm_iter"]
+    tn = results[args.procs]["ms_per_lm_iter"]
+    print(json.dumps({
+        "mode": "weak_scaling_constant_work_per_shard",
+        "procs": args.procs,
+        "dev_per_proc": args.dev_per_proc,
+        "ms_per_iter_1proc": t1,
+        "ms_per_iter_nproc": tn,
+        "weak_scaling_efficiency": round(t1 / tn, 3),
+        "detail": results,
+    }))
+
+
+def _forward_args(args):
+    return ["--cams", str(args.cams),
+            "--pts-per-shard", str(args.pts_per_shard),
+            "--obs-per-shard", str(args.obs_per_shard),
+            "--iters", str(args.iters)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--dev-per-proc", type=int, default=4)
+    ap.add_argument("--cams", type=int, default=32)
+    ap.add_argument("--pts-per-shard", type=int, default=2048)
+    ap.add_argument("--obs-per-shard", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+    if args.worker:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        worker(args)
+    else:
+        launch(args)
+
+
+if __name__ == "__main__":
+    main()
