@@ -45,12 +45,34 @@ def euroc_mono_inertial(**overrides):
 
 
 def euroc_stereo(**overrides):
-    """EuRoC stereo (rectified)."""
+    """EuRoC stereo (pre-rectified input pairs)."""
     cam = euroc_io.EUROC_CAM0
     baseline = 0.110074  # EuRoC cam0-cam1 baseline after rectification
     cfg = euroc_mono(stereo_bf=cam["params"][0] * baseline, **overrides)
     scfg = stereo_system.StereoConfig(baseline=baseline)
     return cfg, scfg
+
+
+def euroc_stereo_rectified(**overrides):
+    """EuRoC stereo from RAW cam0/cam1: rectification maps computed from
+    the factory calibration (upstream Settings::precomputeRectificationMaps
+    parity — reference include/Settings.h:32-94).
+
+    Returns (cfg, scfg, map0, map1): feed map0/map1 to the native ingest
+    (io.native_ingest.NativeIngest(remap=...)) or euroc_io.apply_undistort;
+    cfg.cam_params/stereo_bf are the shared rectified intrinsics.
+    """
+    from .io import rectify
+
+    c0, c1 = euroc_io.EUROC_CAM0, euroc_io.EUROC_CAM1
+    R, t = rectify.relative_pose_from_body(c0["T_BS"], c1["T_BS"])
+    map0, map1, new_k4, baseline, _, _ = rectify.stereo_rectify(
+        c0["params"], c0["distortion"], c1["params"], c1["distortion"],
+        R, t, c0["resolution"])
+    cfg = euroc_mono(cam_params=new_k4,
+                     stereo_bf=new_k4[0] * baseline, **overrides)
+    scfg = stereo_system.StereoConfig(baseline=baseline)
+    return cfg, scfg, map0, map1
 
 
 def tumvi_mono(**overrides) -> base_sys.SlamConfig:

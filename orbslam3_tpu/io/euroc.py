@@ -27,6 +27,25 @@ EUROC_CAM0 = dict(
     distortion=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
     resolution=(480, 752),  # (h, w)
     rate_hz=20,
+    # T_BS (body <- sensor), mav0/cam0/sensor.yaml
+    T_BS=np.array([
+        [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+        [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+        [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+        [0.0, 0.0, 0.0, 1.0]], dtype=np.float64),
+)
+EUROC_CAM1 = dict(
+    model="pinhole",
+    params=(457.587, 456.134, 379.999, 255.238),
+    distortion=(-0.28368365, 0.07451284, -0.00010473, -3.555907e-05),
+    resolution=(480, 752),
+    rate_hz=20,
+    # T_BS (body <- sensor), mav0/cam1/sensor.yaml
+    T_BS=np.array([
+        [0.0125552670891, -0.999755099723, 0.0182237714554, -0.0198435579556],
+        [0.999598781151, 0.0130119051815, 0.0251588363115, 0.0453689425024],
+        [-0.0253898008918, 0.0179005838253, 0.999517347078, 0.00786212447038],
+        [0.0, 0.0, 0.0, 1.0]], dtype=np.float64),
 )
 EUROC_IMU = dict(
     noise_gyro=1.6968e-04, noise_acc=2.0000e-3,

@@ -155,8 +155,12 @@ def pump_euroc(seq, hw: tuple[int, int] | None = None,
             for rec, img in zip(recs, src):
                 pump.feed_image(rec.ts, img)
         else:
+            from . import euroc
             for rec in recs:
-                pump.feed_image(rec.ts, seq.load_image(rec))
+                img = seq.load_image(rec)
+                if remap is not None:
+                    img = euroc.apply_undistort(img, remap)
+                pump.feed_image(rec.ts, img)
         pump.finish()
 
     th = threading.Thread(target=produce, daemon=True)

@@ -28,12 +28,16 @@ def main():
     ap.add_argument("--viz", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--features", type=int, default=1200)
+    ap.add_argument("--clahe", type=float, default=0.0,
+                    help="CLAHE clip limit (0 = off), applied in ingest")
+    ap.add_argument("--timeshift", type=float, default=0.0,
+                    help="cam->IMU time offset [s] (grabber parity)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
     from orbslam3_tpu import config as presets
     from orbslam3_tpu.features.extractor import OrbParams
-    from orbslam3_tpu.io import euroc, native_ingest
+    from orbslam3_tpu.io import euroc, native_ingest, pump
     from orbslam3_tpu.eval import ate
     from orbslam3_tpu.pipeline import inertial_system, stereo_system
     from orbslam3_tpu.pipeline import system as slam
@@ -42,6 +46,8 @@ def main():
     cam = euroc.EUROC_CAM0
     orb = OrbParams(n_features=args.features)
 
+    maps = [euroc.undistort_map(cam["params"], cam["distortion"],
+                                cam["resolution"])]
     if args.mode == "mono":
         cfg = presets.euroc_mono(orb=orb)
         sys_ = slam.System(cfg)
@@ -49,41 +55,50 @@ def main():
         cfg, icfg = presets.euroc_mono_inertial(orb=orb)
         sys_ = inertial_system.InertialSystem(cfg, icfg)
     else:
-        cfg, scfg = presets.euroc_stereo(orb=orb)
+        # RAW cam0+cam1 through calibration-derived rectification maps
+        cfg, scfg, map0, map1 = presets.euroc_stereo_rectified(orb=orb)
         sys_ = stereo_system.StereoSystem(cfg, scfg)
+        maps = [map0, map1]
+        seq_r = euroc.EurocSequence(args.sequence, cam="cam1")
 
-    umap = euroc.undistort_map(cam["params"], cam["distortion"],
-                               cam["resolution"])
     n = len(seq.images) if not args.max_frames else \
         min(args.max_frames, len(seq.images))
 
-    # frame source: native threaded ingest when the .so builds
-    if native_ingest.available():
-        stream = iter(native_ingest.NativeIngest(
-            [r.path for r in seq.images[:n]], cam["resolution"], umap,
-            src_hw=cam["resolution"]))
-        get_frame = lambda i: next(stream)
-        print("using native C++ ingest")
-    else:
-        get_frame = lambda i: euroc.apply_undistort(
-            seq.load_image(seq.images[i]), umap)
+    def make_stream(s, umap):
+        """Native threaded ingest when the .so builds, numpy fallback."""
+        if native_ingest.available():
+            return iter(native_ingest.NativeIngest(
+                [r.path for r in s.images[:n]], cam["resolution"], umap,
+                src_hw=cam["resolution"], clahe_clip=args.clahe))
+        return (euroc.apply_undistort(s.load_image(s.images[i]), umap)
+                for i in range(n))
 
-    imu_cursor = 0
     t0 = time.time()
-    for i in range(n):
-        rec = seq.images[i]
-        img = get_frame(i)
-        if args.mode == "mono-inertial":
-            while imu_cursor < len(seq.imu) and \
-                    seq.imu[imu_cursor].ts <= rec.ts:
-                r = seq.imu[imu_cursor]
-                sys_.grab_imu(r.ts, r.gyro, r.acc)
-                imu_cursor += 1
-        state, pose = sys_.track_monocular(jnp.asarray(img), rec.ts)
-        if i % 100 == 0:
-            print(f"frame {i}/{n} state={state} kf={int(sys_.map.n_kf)} "
-                  f"pts={int(sys_.map.n_pt)} ({time.time() - t0:.0f}s)",
-                  flush=True)
+    i = 0
+    if args.mode == "stereo":
+        left, right = make_stream(seq, maps[0]), make_stream(seq_r, maps[1])
+        for i in range(n):
+            rec = seq.images[i]
+            state, pose = sys_.track_stereo(
+                jnp.asarray(next(left)), jnp.asarray(next(right)), rec.ts)
+            if i % 100 == 0:
+                print(f"frame {i}/{n} state={state} kf={sys_.n_kf_host} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+    else:
+        # image+IMU through the sensor sync pump (reference SyncWithImu
+        # batching semantics, image_grabber.hpp:113-225)
+        seq.images = seq.images[:n]
+        for fr in pump.pump_euroc(seq, remap=maps[0],
+                                  timeshift_cam_imu=args.timeshift,
+                                  clahe_clip=args.clahe):
+            if args.mode == "mono-inertial":
+                for (t_imu, gyro, acc) in fr.imu:
+                    sys_.grab_imu(t_imu, gyro, acc)
+            state, pose = sys_.track_monocular(jnp.asarray(fr.image), fr.ts)
+            i = fr.index
+            if i % 100 == 0:
+                print(f"frame {i}/{n} state={state} kf={sys_.n_kf_host} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
     wall = time.time() - t0
     print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps), "
           f"resets={sys_.n_resets}")
