@@ -154,6 +154,14 @@ class TestViz:
         ff = world.frame(*poses[-1][:2])
         img = np.zeros(HW, np.uint8)
         p2 = viz.plot_frame(img, ff, sys_.kf_bindings.get(
-            sys_.last_kf_idx, jnp.full(ff.xy.shape[0], -1)), 
+            sys_.last_kf_idx, jnp.full(ff.xy.shape[0], -1)),
             str(tmp_path / "frame.png"))
         assert os.path.getsize(p2) > 10000
+        # covisibility graph: consecutive KFs share points in this world
+        edges = viz.covisibility_edges(sys_, min_weight=15)
+        assert len(edges) >= sys_.n_kf_host - 2, len(edges)
+        # step-by-step mode exports per-frame + periodic map snapshots
+        sv = viz.StepViewer(str(tmp_path / "steps"), map_every=2)
+        outs = sv.on_frame(sys_, img, ff)
+        assert len(outs) == 2 and all(os.path.getsize(o) > 5000
+                                      for o in outs)
