@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import matching
@@ -48,3 +49,64 @@ def stereo_match(ff_l, ff_r, fx: float, baseline: float,
     ok = mm.valid & (depth > min_depth) & (depth < max_depth)
     return StereoDepth(ur=jnp.where(ok, ur, -1.0),
                        depth=jnp.where(ok, depth, 0.0), valid=ok)
+
+
+def refine_disparity(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                     xy_l: jnp.ndarray, d: StereoDepth,
+                     fx: float, baseline: float,
+                     w: int = 5, r_search: int = 2) -> StereoDepth:
+    """Subpixel correlation refinement of the matched right-u.
+
+    Parity target: the SAD sweep + parabola fit in upstream
+    Frame::ComputeStereoMatches (integer keypoint coordinates quantize
+    disparity to +-0.5 px — at a 5 px disparity that is a +-10% depth
+    error per observation).  For each valid match, compare the
+    (2w+1)^2 left patch against right patches shifted by
+    [-r_search, r_search] around the matched uR, fit a parabola through
+    the SAD minimum and its neighbors, and re-derive uR/depth.
+
+    Gathers are batched dynamic slices; with w=5, r=2 the data volume
+    is tiny (N x 11 x 15).
+    """
+    h, wid = img_l.shape
+    s = 2 * w + 1
+    sw = s + 2 * r_search
+    x_l = jnp.round(xy_l[:, 0]).astype(jnp.int32)
+    y = jnp.clip(jnp.round(xy_l[:, 1]).astype(jnp.int32) - w, 0, h - s)
+    xl0 = jnp.clip(x_l - w, 0, wid - s)
+    ur_i = jnp.round(d.ur).astype(jnp.int32)
+    xr0 = jnp.clip(ur_i - w - r_search, 0, wid - sw)
+
+    def slice_l(yy, xx):
+        return jax.lax.dynamic_slice(img_l, (yy, xx), (s, s))
+
+    def slice_r(yy, xx):
+        return jax.lax.dynamic_slice(img_r, (yy, xx), (s, sw))
+
+    Pl = jax.vmap(slice_l)(y, xl0)                     # (N, s, s)
+    Pr = jax.vmap(slice_r)(y, xr0)                     # (N, s, sw)
+    # SSD at each shift (the reference sweeps SAD; SSD of a bilinearly
+    # shifted signal is locally QUADRATIC in the shift, so the parabola
+    # vertex is unbiased — SAD's V-shaped cost biases it by ~0.2 px)
+    sads = jnp.stack([
+        jnp.sum(jnp.square(Pr[:, :, k:k + s] - Pl), axis=(1, 2))
+        for k in range(2 * r_search + 1)], axis=1)     # (N, 2r+1)
+    best = jnp.argmin(sads, axis=1)
+    bc = jnp.clip(best, 1, 2 * r_search - 1)           # parabola needs both
+    c0 = jnp.take_along_axis(sads, (bc - 1)[:, None], 1)[:, 0]
+    c1 = jnp.take_along_axis(sads, bc[:, None], 1)[:, 0]
+    c2 = jnp.take_along_axis(sads, (bc + 1)[:, None], 1)[:, 0]
+    denom = c0 + c2 - 2 * c1
+    frac = jnp.where(jnp.abs(denom) > 1e-6,
+                     0.5 * (c0 - c2) / jnp.maximum(denom, 1e-6), 0.0)
+    frac = jnp.clip(frac, -1.0, 1.0)
+    # refined right-u: integer window start + best shift + subpixel
+    ur_new = (xr0 + bc + frac).astype(jnp.float32) + w
+    # reject refinements that moved too far or hit the sweep edge
+    moved_ok = (jnp.abs(ur_new - d.ur) <= r_search + 1.0) & \
+        (best == bc)
+    ur = jnp.where(d.valid & moved_ok, ur_new, d.ur)
+    disp = jnp.clip(xy_l[:, 0] - ur, 1e-3, None)
+    depth = jnp.where(d.valid, fx * baseline / disp, 0.0)
+    return StereoDepth(ur=jnp.where(d.valid, ur, -1.0), depth=depth,
+                       valid=d.valid)

@@ -42,6 +42,12 @@ class StereoSystem(base.System):
         self._stereo_jit = jax.jit(lambda fl, fr: stereo_mod.stereo_match(
             fl, fr, fx, scfg.baseline,
             max_depth=scfg.max_depth_factor * scfg.baseline * 3))
+        # subpixel SAD refinement (Frame::ComputeStereoMatches parity) —
+        # runs when the caller provides pixel data alongside features
+        self._refine_jit = jax.jit(
+            lambda il, ir, xy, d: stereo_mod.refine_disparity(
+                il.astype(jnp.float32), ir.astype(jnp.float32), xy, d,
+                fx, scfg.baseline))
 
     # ------------------------------------------------------------------ api
     def track_stereo(self, img_l, img_r, ts: float,
@@ -50,6 +56,9 @@ class StereoSystem(base.System):
         ff_l = features_l if features_l is not None else self._extract(img_l)
         ff_r = features_r if features_r is not None else self._extract(img_r)
         self._depth = self._stereo_jit(ff_l, ff_r)
+        if img_l is not None and img_r is not None:
+            self._depth = self._refine_jit(img_l, img_r, ff_l.xy,
+                                           self._depth)
         self.frame_id += 1
 
         if self.state in (base.NO_IMAGES_YET, base.NOT_INITIALIZED):

@@ -84,3 +84,47 @@ class TestStereoPipeline:
         _, s2, _, _ = align.ate_rmse(jnp.asarray(est), jnp.asarray(gt))
         # stereo (uR) BA residuals anchor the metric scale continuously
         assert abs(float(s2) - 1.0) < 0.01, float(s2)
+
+
+class TestSubpixelRefinement:
+    def test_recovers_fractional_disparity(self):
+        """A right image that is the left shifted by a FRACTIONAL number
+        of pixels: integer keypoint matching quantizes the disparity; the
+        SAD parabola must recover the fraction (reference
+        Frame::ComputeStereoMatches subpixel stage)."""
+        import numpy as np
+        from orbslam3_tpu.features import stereo as st
+        from orbslam3_tpu.features.extractor import FeatureFrame
+
+        rng = np.random.default_rng(3)
+        h, w = 64, 128
+        big = rng.uniform(0, 255, (h, w + 8)).astype(np.float64)
+        # smooth it so subpixel interpolation is well-posed
+        for _ in range(2):
+            big = 0.25 * (np.roll(big, 1, 1) + np.roll(big, -1, 1)
+                          + np.roll(big, 1, 0) + np.roll(big, -1, 0))
+        true_disp = 4.6
+        xs = np.arange(w) + true_disp
+        x0 = xs.astype(int)
+        f = xs - x0
+        img_l = jnp.asarray(big[:, :w].astype(np.float32))
+        img_r = jnp.asarray(
+            (big[:, :w] * 0).astype(np.float32))
+        img_r = jnp.asarray(
+            ((1 - f) * big[:, x0] + f * big[:, x0 + 1]).astype(np.float32))
+
+        n = 12
+        xy = np.stack([rng.uniform(20, w - 20, n),
+                       rng.uniform(10, h - 10, n)], 1).astype(np.float32)
+        # integer-quantized initial match: ur = x - round(true_disp)
+        ur0 = np.round(xy[:, 0]) - round(true_disp)
+        d0 = st.StereoDepth(ur=jnp.asarray(ur0, jnp.float32),
+                            depth=jnp.ones(n), valid=jnp.ones(n, bool))
+        d1 = st.refine_disparity(img_l, img_r, jnp.asarray(xy), d0,
+                                 fx=100.0, baseline=0.1)
+        disp = np.round(xy[:, 0]) - np.asarray(d1.ur)
+        err = np.abs(disp - true_disp)
+        # parabola-on-sampled-cost keeps a small residual bias (the
+        # reference's SAD sweep has the same class of error); it must
+        # still clearly beat the 0.4 px integer-quantization error here
+        assert np.median(err) < 0.25, (np.median(err), disp[:6])
