@@ -111,6 +111,13 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
                 if b is not None and f.capacity == system.bank.xy.shape[1]:
                     system.bank = fbank.set_frame(system.bank, k, f, b)
         system.last_kf_idx = kf_idx + kf_off
+        # immediate welding BA over the seam (reference
+        # Optimizer::LocalBundleAdjustment welding variant,
+        # src/Optimizer.cc:3156-3446): covisibility window centered at
+        # the weld keyframe, spanning both sides through the fused
+        # observations
+        system.map = system._local_ba(
+            system.map, jnp.asarray(system.last_kf_idx, jnp.int32))
         # current camera pose: read from the merged (transformed) map
         ki = system.last_kf_idx
         system.R_cur = system.map.kf_R[ki]
