@@ -58,7 +58,9 @@ def _dlt_p6p(X: jnp.ndarray, xn: jnp.ndarray):
     scale = jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
     M = M / scale
     p3 = p3 / scale
-    R = lie.normalize_rotation(M)
+    # M is a raw (scale-removed) DLT estimate — not near-orthogonal, so it
+    # needs the exact SVD projection, not the Newton polar step
+    R = lie.normalize_rotation_svd(M)
     return R, p3
 
 

@@ -139,8 +139,25 @@ def left_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
-    """Project a near-rotation matrix back onto SO(3) via SVD (per g2o's
-    NormalizeRotation, reference include/G2oTypes.h)."""
+    """Re-orthonormalize a NEAR-rotation matrix (per g2o's
+    NormalizeRotation, reference include/G2oTypes.h).
+
+    Inputs here are always products of exact rotations accumulating f32
+    round-off (BA/pose-opt LM updates, IMU preintegration scans), i.e.
+    within ~1e-3 of SO(3), so two Newton-Schulz polar steps
+    (R <- 1.5 R - 0.5 R R^T R, quadratic convergence for singular values
+    in (0, sqrt(3))) reach f32 precision — pure matmuls instead of the
+    iterative batched-SVD TPU kernel.  For matrices far from SO(3)
+    (e.g. a raw DLT estimate) use `normalize_rotation_svd`."""
+    for _ in range(2):
+        RtR = jnp.einsum("...ji,...jk->...ik", R, R, precision=_HI)
+        R = 1.5 * R - 0.5 * jnp.matmul(R, RtR, precision=_HI)
+    return R
+
+
+def normalize_rotation_svd(R: jnp.ndarray) -> jnp.ndarray:
+    """Exact projection onto SO(3) via SVD — handles arbitrary (possibly
+    reflected/scaled) inputs; slower on TPU (iterative batched SVD)."""
     U, _, Vt = jnp.linalg.svd(R)
     det = jnp.linalg.det(U @ Vt)[..., None, None]
     D = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)

@@ -194,8 +194,6 @@ class System:
             FeatureBank)."""
             from ..slam_map import feature_bank as fbank
             m, ki = mapstate.add_keyframe(m, R, t, ts, frame_id)
-            m = mapstate.add_observations(m, ki, kp_pt, ff.xy, ff.octave,
-                                          (kp_pt >= 0) & ff.valid, ur=kp_ur)
             bank = fbank.set_frame(bank, ki, ff, kp_pt)
             nbr_idx, nbr_ok = mapping.select_triangulation_neighbors(
                 m, ki, cfg.tri_neighbors)
@@ -222,23 +220,34 @@ class System:
                 m, X_sel, desc_sel, normal, dmin, dmax, ki, frame_id,
                 sel_valid)
             created = sel_valid & (pt_idx >= 0)
-            # current-KF observations of the new points
-            m = mapstate.add_observations(
-                m, ki, pt_idx, ff.xy[sel_i], oct_sel, created,
-                ur=kp_ur[sel_i])
-            # winning-neighbor observations + neighbor binding updates
+            # ONE fused observation append: tracked points of the new KF +
+            # the new points at the current KF + the winning-neighbor rows
+            # (per-row kf indices; one cumsum/scatter chain instead of six)
             prev_j = nps.kp_prev.reshape(-1)[order]
             prev_j_c = jnp.maximum(prev_j, 0)
-            Nkp = bank.kp_pt.shape[1]
-            for nn in range(cfg.tri_neighbors):
-                nb = nbr_idx[nn]
-                msk = created & (sel_nn == nn) & (prev_j >= 0)
-                m = mapstate.add_observations(
-                    m, nb, jnp.where(msk, pt_idx, -1),
-                    bank.xy[nb][prev_j_c], bank.octave[nb][prev_j_c], msk)
-                row = bank.kp_pt[nb].at[
-                    jnp.where(msk, prev_j_c, Nkp)].set(pt_idx, mode="drop")
-                bank = fbank.set_binding(bank, nb, row)
+            sel_nb = nbr_idx[sel_nn]
+            nbr_msk = created & (prev_j >= 0)
+            obs_kf_rows = jnp.concatenate([
+                jnp.full(N, 0, jnp.int32) + ki,
+                jnp.full(B, 0, jnp.int32) + ki,
+                sel_nb.astype(jnp.int32)])
+            obs_pt_rows = jnp.concatenate([kp_pt, pt_idx, pt_idx])
+            obs_uv_rows = jnp.concatenate([
+                ff.xy, ff.xy[sel_i], bank.xy[sel_nb, prev_j_c]])
+            obs_oct_rows = jnp.concatenate([
+                ff.octave, oct_sel, bank.octave[sel_nb, prev_j_c]])
+            obs_ur_rows = jnp.concatenate([
+                kp_ur, kp_ur[sel_i], jnp.full(B, -1.0, jnp.float32)])
+            obs_ok_rows = jnp.concatenate([
+                (kp_pt >= 0) & ff.valid, created, nbr_msk])
+            m = mapstate.add_observations(
+                m, obs_kf_rows, obs_pt_rows, obs_uv_rows, obs_oct_rows,
+                obs_ok_rows, ur=obs_ur_rows)
+            # neighbor binding updates: one 2-index scatter over the bank
+            K_cap = bank.kp_pt.shape[0]
+            bank = bank._replace(kp_pt=bank.kp_pt.at[
+                jnp.where(nbr_msk, sel_nb, K_cap), prev_j_c].set(
+                pt_idx, mode="drop"))
             # updated bindings for the new KF
             kp_pt_new = kp_pt.at[jnp.where(created, sel_i, N)].set(
                 pt_idx, mode="drop")

@@ -129,22 +129,19 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
     """
     B = xyz.shape[0]
     P = m.pt_xyz.shape[0]
-    order = jnp.argsort(~new_valid)  # valid first, stable
-    xyz, desc = xyz[order], desc[order]
-    normal = normal[order]
-    min_dist, max_dist = min_dist[order], max_dist[order]
-    v = new_valid[order]
+    v = new_valid
+    # destination slot per entry via cumsum (stable, valid entries get
+    # consecutive slots in original order — no argsort, no gather-blend)
     n_new = jnp.sum(v.astype(jnp.int32))
     base = m.n_pt
-    dst = base + jnp.arange(B, dtype=jnp.int32)
+    dst = base + jnp.cumsum(v.astype(jnp.int32)) - 1
     # capacity guard: entries past P are dropped (returned as -1) instead
     # of silently aliasing the last slot (ADVICE r1: OOB scatter corruption)
-    write = (jnp.arange(B) < n_new) & (dst < P)
-    dst_c = jnp.where(write, dst, P - 1)  # park masked writes at end
+    write = v & (dst < P)
+    dst_c = jnp.where(write, dst, P)  # OOB destination => scatter dropped
 
     def wr(arr, vals):
-        return arr.at[dst_c].set(jnp.where(write.reshape((B,) + (1,) * (vals.ndim - 1)),
-                                           vals, arr[dst_c]))
+        return arr.at[dst_c].set(vals, mode="drop")
 
     m = m._replace(
         pt_xyz=wr(m.pt_xyz, xyz),
@@ -159,41 +156,37 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
         pt_valid=wr(m.pt_valid, write),
         n_pt=jnp.minimum(base + n_new, P),
     )
-    # map back: entry j of the original chunk -> its destination or -1
-    inv = jnp.argsort(order)
-    idx_sorted = jnp.where(write, dst, -1)
-    return m, idx_sorted[inv]
+    return m, jnp.where(write, dst, -1)
 
 
 def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
                      valid, ur=None) -> MapState:
-    """Append a fixed-size chunk of observations (masked).  `ur`: stereo
-    right-u per observation (-1/None = mono)."""
+    """Append a fixed-size chunk of observations (masked).  `kf_idx` may
+    be a scalar or a per-row (B,) array (one fused append covering several
+    keyframes).  `ur`: stereo right-u per observation (-1/None = mono)."""
     B = pt_idx.shape[0]
     O = m.obs_kf.shape[0]
     if ur is None:
         ur = jnp.full(B, -1.0, jnp.float32)
+    kf_arr = jnp.broadcast_to(jnp.asarray(kf_idx, jnp.int32), (B,))
     v = valid & (pt_idx >= 0)
-    order = jnp.argsort(~v)
-    pt_s, uv_s, oct_s, v_s = pt_idx[order], uv[order], octave[order], v[order]
-    ur_s = ur[order]
-    n_new = jnp.sum(v_s.astype(jnp.int32))
+    # destination via cumsum (stable compaction without argsort); entries
+    # past capacity O are dropped (ADVICE r1: no aliasing)
+    n_new = jnp.sum(v.astype(jnp.int32))
     base = m.n_obs
-    dst = base + jnp.arange(B, dtype=jnp.int32)
-    # capacity guard (ADVICE r1): drop entries past O instead of aliasing
-    write = (jnp.arange(B) < n_new) & (dst < O)
-    dst_c = jnp.where(write, dst, O - 1)
+    dst = base + jnp.cumsum(v.astype(jnp.int32)) - 1
+    write = v & (dst < O)
+    dst_c = jnp.where(write, dst, O)  # OOB destination => scatter dropped
 
     def wr(arr, vals):
-        return arr.at[dst_c].set(jnp.where(write.reshape((B,) + (1,) * (vals.ndim - 1)),
-                                           vals, arr[dst_c]))
+        return arr.at[dst_c].set(vals, mode="drop")
 
     return m._replace(
-        obs_kf=wr(m.obs_kf, jnp.full(B, kf_idx, jnp.int32)),
-        obs_pt=wr(m.obs_pt, pt_s),
-        obs_uv=wr(m.obs_uv, uv_s),
-        obs_octave=wr(m.obs_octave, oct_s),
-        obs_ur=wr(m.obs_ur, ur_s),
+        obs_kf=wr(m.obs_kf, kf_arr),
+        obs_pt=wr(m.obs_pt, pt_idx),
+        obs_uv=wr(m.obs_uv, uv),
+        obs_octave=wr(m.obs_octave, octave),
+        obs_ur=wr(m.obs_ur, ur),
         obs_valid=wr(m.obs_valid, write),
         n_obs=jnp.minimum(base + n_new, O),
     )
