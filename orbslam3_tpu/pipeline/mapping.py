@@ -315,6 +315,84 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
     return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
 
 
+def gather_window_grid(m: mapstate.MapState, center_kf: jnp.ndarray,
+                       window: int, n_levels: int, scale_factor: float,
+                       cap_cams: int = 16, cap_pts: int = 4096,
+                       window_mode: str = "covis", min_anchors: int = 2):
+    """Window selection into a dense (cap_pts, cap_cams) observation grid
+    (ba_grid.GridBAProblem) — a point is observed at most once per KF, so
+    the window problem needs no COO list.  Three map-sized index ops
+    total (two segment reductions + ONE packed scatter), vs the COO
+    path's compaction sorts plus per-field gathers.
+
+    Same window/anchor semantics as gather_window_problem (reference
+    LocalBundleAdjustment window, src/Optimizer.cc:1069-1140).
+    """
+    from ..solver import ba_grid
+    K = m.kf_R.shape[0]
+    P = m.pt_xyz.shape[0]
+    sf = jnp.asarray(scale_factor ** jnp.arange(n_levels, dtype=jnp.float32))
+
+    kf_ids = jnp.arange(K)
+    if window_mode == "temporal":
+        in_window = (kf_ids > center_kf - window) & \
+            (kf_ids <= center_kf) & m.kf_valid
+    else:
+        covis = mapstate.covisibility_weights(m, center_kf)
+        cscore = jnp.where(m.kf_valid & (kf_ids != center_kf), covis, 0)
+        top_vals, top_idx = jax.lax.top_k(cscore, max(window - 1, 1))
+        prev = jnp.max(jnp.where((kf_ids < center_kf) & m.kf_valid,
+                                 kf_ids, -1))
+        in_window = jnp.zeros(K, bool).at[top_idx].set(top_vals > 0)
+        in_window = in_window.at[center_kf].set(True)
+        in_window = in_window.at[jnp.maximum(prev, 0)].set(
+            in_window[jnp.maximum(prev, 0)] | (prev >= 0))
+        in_window &= m.kf_valid
+
+    obs_pt_c = jnp.clip(m.obs_pt, 0, P - 1)
+    obs_kf_c = jnp.clip(m.obs_kf, 0, K - 1)
+    obs_ok = m.obs_valid & m.pt_valid[obs_pt_c] & m.kf_valid[obs_kf_c]
+
+    # in-window observation count per point: selection flag AND budget
+    # score in one segment-sum (points with more window observers first)
+    nobs_win = jnp.zeros(P, jnp.int32).at[obs_pt_c].add(
+        (obs_ok & in_window[obs_kf_c]).astype(jnp.int32))
+    pt_sel, pt_sel_valid, pt_inv = _compact(nobs_win > 0, cap_pts,
+                                            score=nobs_win)
+
+    obs_rel = obs_ok & (pt_inv[obs_pt_c] >= 0)
+    cam_touched = jnp.zeros(K, bool).at[obs_kf_c].max(obs_rel)
+    cam_touched |= in_window
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+
+    # ONE packed scatter builds the grid: [u, v, inv_sigma2, ur, flag]
+    gp = pt_inv[obs_pt_c]
+    gk = cam_inv[obs_kf_c]
+    ok = obs_rel & (gk >= 0)
+    inv_sigma2 = 1.0 / sf[jnp.clip(m.obs_octave, 0, n_levels - 1)] ** 2
+    payload = jnp.concatenate([
+        m.obs_uv, inv_sigma2[:, None], m.obs_ur[:, None],
+        jnp.ones_like(inv_sigma2)[:, None]], axis=1)
+    grid = jnp.zeros((cap_pts, cap_cams, 5), jnp.float32).at[
+        jnp.where(ok, gp, cap_pts), jnp.maximum(gk, 0)].set(
+        payload, mode="drop")
+
+    fixed = ~in_window[cam_sel] | (cam_sel < 1)
+    n_prob_cams = jnp.sum(cam_sel_valid.astype(jnp.int32))
+    n_anchors = jnp.sum((fixed & cam_sel_valid).astype(jnp.int32))
+    need_second = (n_anchors < min_anchors) & (n_prob_cams >= 3)
+    fixed = fixed | ((cam_sel == 1) & need_second)
+
+    prob = ba_grid.GridBAProblem(
+        R=m.kf_R[cam_sel], t=m.kf_t[cam_sel],
+        cam_fixed=fixed, cam_valid=cam_sel_valid,
+        X=m.pt_xyz[pt_sel], pt_valid=pt_sel_valid & m.pt_valid[pt_sel],
+        uv=grid[:, :, 0:2], inv_sigma2=grid[:, :, 2],
+        valid=grid[:, :, 4] > 0, ur=jnp.where(grid[:, :, 4] > 0,
+                                              grid[:, :, 3], -1.0))
+    return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
+
+
 def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                  cam_model: str, cam_params,
                  window: int = 8, iterations: int = 10,
@@ -335,27 +413,43 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
     observations partitioned, reduced system psum'd) via
     parallel.dist_ba — the engine's distributed back-end, not a demo.
     """
-    prob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_problem(
-        m, center_kf, window, n_levels, scale_factor,
-        prior_pos=prior_pos, prior_w=prior_w, **caps)
-    if mesh is not None:
-        from ..parallel import dist_ba
-        dprob = dist_ba.partition_problem(prob, mesh.shape[mesh_axis])
-        R_d, t_d, X_d, _ = dist_ba.dist_bundle_adjust(
-            dprob, mesh, axis=mesh_axis, cam_model=cam_model,
-            cam_params=cam_params, iterations=iterations)
-        res = ba.BAResult(R=R_d, t=t_d, X=X_d,
-                          obs_chi2=jnp.zeros_like(prob.obs_inv_sigma2),
-                          cost=jnp.zeros(()))
+    cap_cams = caps.get("cap_cams", 32)
+    if schur_solver == "auto":
+        # window-sized problems: the dense (P, K) grid formulation (no
+        # scatters/gathers in the LM loop, direct block-Cholesky Schur
+        # solve) beats both the PCG chain and the COO dense solve
+        schur_solver = "grid" if (mesh is None and prior_pos is None and
+                                  cap_cams <= 32) else "pcg"
+    if schur_solver == "grid":
+        from ..solver import ba_grid
+        gprob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_grid(
+            m, center_kf, window, n_levels, scale_factor,
+            cap_cams=cap_cams, cap_pts=caps.get("cap_pts", 8192))
+        R_g, t_g, X_g, _ = ba_grid.bundle_adjust_grid(
+            gprob, cam_model, cam_params, iterations=iterations,
+            stereo_bf=stereo_bf)
+        res = ba.BAResult(R=R_g, t=t_g, X=X_g,
+                          obs_chi2=jnp.zeros(()), cost=jnp.zeros(()))
+        prob = gprob
     else:
-        if schur_solver == "auto":
-            # window-sized problems: direct (6K,6K) Schur solve beats the
-            # PCG chain (dozens of dependent kernels = device latency)
-            schur_solver = "dense" if prob.R.shape[0] <= 32 else "pcg"
-        res = ba.bundle_adjust(prob, cam_model, cam_params,
-                               iterations=iterations, stereo_bf=stereo_bf,
-                               pcg_iters=pcg_iters,
-                               schur_solver=schur_solver)
+        prob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_problem(
+            m, center_kf, window, n_levels, scale_factor,
+            prior_pos=prior_pos, prior_w=prior_w, **caps)
+        if mesh is not None:
+            from ..parallel import dist_ba
+            dprob = dist_ba.partition_problem(prob, mesh.shape[mesh_axis])
+            R_d, t_d, X_d, _ = dist_ba.dist_bundle_adjust(
+                dprob, mesh, axis=mesh_axis, cam_model=cam_model,
+                cam_params=cam_params, iterations=iterations)
+            res = ba.BAResult(R=R_d, t=t_d, X=X_d,
+                              obs_chi2=jnp.zeros_like(prob.obs_inv_sigma2),
+                              cost=jnp.zeros(()))
+        else:
+            res = ba.bundle_adjust(prob, cam_model, cam_params,
+                                   iterations=iterations,
+                                   stereo_bf=stereo_bf,
+                                   pcg_iters=pcg_iters,
+                                   schur_solver=schur_solver)
     # scatter back optimized cameras/points
     K = m.kf_R.shape[0]
     P = m.pt_xyz.shape[0]

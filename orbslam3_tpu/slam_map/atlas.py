@@ -117,4 +117,6 @@ def merge_maps(m_old: mapstate.MapState, m_new: mapstate.MapState,
         n_pt=jnp.asarray(np_o + np_n, jnp.int32),
         n_obs=jnp.asarray(no_o + no_n, jnp.int32),
     )
+    # splice bypassed add_observations: recompute the incidence grid
+    m = mapstate.rebuild_incidence(m)
     return m, nk_o, np_o

@@ -33,8 +33,22 @@ def load_map(path: str) -> mapstate.MapState:
     """Load a MapState saved by save_map."""
     z = np.load(path, allow_pickle=False)
     fields = {}
+    rebuild = []
     for name in mapstate.MapState._fields:
-        fields[name] = jax.numpy.asarray(z[f"map__{name}"])
+        key = f"map__{name}"
+        if key in z:
+            fields[name] = jax.numpy.asarray(z[key])
+        else:
+            # field added after this checkpoint was written: derive it
+            rebuild.append(name)
+            fields[name] = None
+    if rebuild and rebuild != ["pt_kf_mask"]:
+        raise KeyError(f"checkpoint missing non-derivable fields {rebuild}")
+    if rebuild:
+        P = fields["pt_xyz"].shape[0]
+        K = fields["kf_R"].shape[0]
+        fields["pt_kf_mask"] = jax.numpy.zeros((P, K), bool)
+        return mapstate.rebuild_incidence(mapstate.MapState(**fields))
     return mapstate.MapState(**fields)
 
 

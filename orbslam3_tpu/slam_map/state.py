@@ -63,6 +63,16 @@ class MapState(NamedTuple):
     n_kf: jnp.ndarray        # () int32 next free kf slot
     n_pt: jnp.ndarray        # () int32 next free point slot
     n_obs: jnp.ndarray       # () int32 next free obs slot
+    # --- derived incidence (maintained, over-approximate) -------------------
+    # (P, K) bool: point p has (ever had) an observation in KF k.  Bits are
+    # ONLY set through add_observations; dead points/KFs are masked out by
+    # consumers with pt_valid/kf_valid (an invalidated observation of a
+    # live point leaves a stale bit — harmless over-report, see
+    # covisibility_weights).  This turns covisibility, observation counts
+    # and window selection — O(n_obs) gather/scatter chains measured at
+    # ~1.7 ms EACH on v5e at 196k-obs capacity — into elementwise ops and
+    # one MXU matvec.
+    pt_kf_mask: jnp.ndarray
 
 
 def empty_map(cap: MapCapacity) -> MapState:
@@ -94,6 +104,7 @@ def empty_map(cap: MapCapacity) -> MapState:
         n_kf=jnp.zeros((), jnp.int32),
         n_pt=jnp.zeros((), jnp.int32),
         n_obs=jnp.zeros((), jnp.int32),
+        pt_kf_mask=jnp.zeros((P, K), bool),
     )
 
 
@@ -181,6 +192,7 @@ def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
     def wr(arr, vals):
         return arr.at[dst_c].set(vals, mode="drop")
 
+    P = m.pt_kf_mask.shape[0]
     return m._replace(
         obs_kf=wr(m.obs_kf, kf_arr),
         obs_pt=wr(m.obs_pt, pt_idx),
@@ -189,28 +201,52 @@ def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
         obs_ur=wr(m.obs_ur, ur),
         obs_valid=wr(m.obs_valid, write),
         n_obs=jnp.minimum(base + n_new, O),
+        pt_kf_mask=m.pt_kf_mask.at[
+            jnp.where(write, pt_idx, P), kf_arr].max(write, mode="drop"),
     )
+
+
+def live_incidence(m: MapState) -> jnp.ndarray:
+    """(P, K) bool point-KF incidence with dead points/KFs masked out.
+
+    Derived from the maintained pt_kf_mask — elementwise, no O(n_obs)
+    index traffic.  Over-approximate only for (point, KF) pairs whose
+    observation was individually invalidated by fusion while both
+    endpoints stayed alive (the reference's covisibility graph has the
+    same one-update lag until UpdateConnections reruns)."""
+    return m.pt_kf_mask & m.pt_valid[:, None] & m.kf_valid[None, :]
+
+
+def rebuild_incidence(m: MapState) -> MapState:
+    """Recompute pt_kf_mask exactly from the observation list (one
+    O(n_obs) scatter) — for splice-style map surgery (Atlas merge,
+    checkpoint migration) that bypasses add_observations."""
+    P = m.pt_xyz.shape[0]
+    K = m.kf_R.shape[0]
+    ok = m.obs_valid & (m.obs_pt >= 0) & (m.obs_kf >= 0)
+    mask = jnp.zeros((P, K), bool).at[
+        jnp.where(ok, m.obs_pt, P), jnp.clip(m.obs_kf, 0, K - 1)].max(
+        ok, mode="drop")
+    return m._replace(pt_kf_mask=mask)
 
 
 def point_obs_count(m: MapState) -> jnp.ndarray:
     """(P,) number of valid observations per point (derived, replaces
     MapPoint::Observations())."""
-    P = m.pt_xyz.shape[0]
-    w = (m.obs_valid & m.pt_valid[jnp.clip(m.obs_pt, 0, P - 1)]).astype(jnp.int32)
-    return jnp.zeros(P, jnp.int32).at[jnp.clip(m.obs_pt, 0, P - 1)].add(w)
+    return jnp.sum(live_incidence(m).astype(jnp.int32), axis=1)
 
 
 def covisibility_weights(m: MapState, kf_idx: jnp.ndarray) -> jnp.ndarray:
     """(K,) shared-point counts between `kf_idx` and every other KF
-    (reference KeyFrame::UpdateConnections, src/KeyFrame.cc:459)."""
-    P = m.pt_xyz.shape[0]
-    K = m.kf_R.shape[0]
-    ov = m.obs_valid & m.pt_valid[jnp.clip(m.obs_pt, 0, P - 1)]
-    seen_by_kf = jnp.zeros(P, bool).at[jnp.clip(m.obs_pt, 0, P - 1)].max(
-        ov & (m.obs_kf == kf_idx))
-    w = (ov & seen_by_kf[jnp.clip(m.obs_pt, 0, P - 1)]).astype(jnp.int32)
-    counts = jnp.zeros(K, jnp.int32).at[jnp.clip(m.obs_kf, 0, K - 1)].add(w)
-    return counts.at[kf_idx].set(0)
+    (reference KeyFrame::UpdateConnections, src/KeyFrame.cc:459).
+
+    One MXU matvec over the live incidence grid: counts[k] =
+    sum_p live[p, kf_idx] * live[p, k]."""
+    live = live_incidence(m)
+    seen = live[:, kf_idx].astype(jnp.float32)
+    counts = jnp.einsum("p,pk->k", seen, live.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+    return counts.astype(jnp.int32).at[kf_idx].set(0)
 
 
 def compact(m: MapState) -> tuple[MapState, jnp.ndarray]:
@@ -263,6 +299,7 @@ def compact(m: MapState) -> tuple[MapState, jnp.ndarray]:
         obs_ur=og(m.obs_ur, -1.0),
         obs_valid=okept,
         n_pt=n_valid, n_obs=n_ov,
+        pt_kf_mask=pg(m.pt_kf_mask),
     ), remap
 
 

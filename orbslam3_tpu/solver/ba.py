@@ -36,7 +36,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import cameras, lie
+from ..ops import cameras, lie, smallsolve
 from . import robust
 
 _HI = jax.lax.Precision.HIGHEST
@@ -356,8 +356,10 @@ def _solve_schur_dense(Hcc, bc, Hpp, bp, Cobs, obs_cam, obs_pt, lam,
     S = S * ff
     S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
         jnp.eye(6)[None] * (1 - free)[:, None, None])
-    dx_cam = jnp.linalg.solve(S.reshape(K * 6, K * 6),
-                              rhs.reshape(K * 6)).reshape(K, 6)
+    # blocked unrolled Cholesky: jnp.linalg.solve's LU custom call costs
+    # ~2 ms of fixed kernel latency per LM step on v5e
+    dx_cam = smallsolve.solve_psd_blocked(
+        S.reshape(K * 6, K * 6), rhs.reshape(K * 6), bs=6).reshape(K, 6)
     dx_cam = dx_cam * free[:, None]
 
     # back-substitute points: dx_p = Hpp_inv (bp - C^T dx_cam)

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import cameras, lie
+from ..ops import cameras, lie, smallsolve
 from . import robust
 from .inertial import PreintFactor, inertial_residual, info_from_cov
 from .vi_ba import STATE_DIM, apply_delta
@@ -105,7 +105,7 @@ def vi_pose_optimization(Rwb0, pwb0, vel0, bias0,
             H = H + jnp.matmul(J_in.T, J_in, precision=_HI)
             b = b - jnp.matmul(J_in.T, r_in, precision=_HI)
             H = H + jnp.eye(STATE_DIM) * 1e-6
-            dx = jnp.linalg.solve(H, b)
+            dx = smallsolve.solve_psd(H, b)
             R2, p2, v2, b2 = apply_delta(Rwb, pwb, vel, bias, dx)
             return lie.normalize_rotation(R2), p2, v2, b2
 
@@ -224,7 +224,7 @@ def vi_pose_optimization_last_frame(
             H = H + jnp.matmul(J_ch.T, J_ch, precision=_HI)
             b = b - jnp.matmul(J_ch.T, r_ch, precision=_HI)
             H = H + jnp.eye(D) * 1e-6
-            dx = jnp.linalg.solve(H, b)
+            dx = smallsolve.solve_psd_blocked(H, b, bs=6)
             R1, p1, v1, b1 = apply_delta(Rp, pp, vp, bp, dx[:STATE_DIM])
             R2, p2, v2, b2 = apply_delta(Rc, pc, vc, bc, dx[STATE_DIM:])
             return (lie.normalize_rotation(R1), p1, v1, b1,
