@@ -91,8 +91,65 @@ def tumvi_mono(**overrides) -> base_sys.SlamConfig:
 
 def tumvi_mono_inertial(**overrides):
     """TUM-VI monocular-inertial (BMI160 IMU @200 Hz)."""
+    imu = euroc_io.TUMVI_IMU
     icfg = inertial_system.InertialConfig(
-        imu_freq=200.0, noise_gyro=8.0e-5, noise_acc=1.4e-3,
-        walk_gyro=1.0e-6, walk_acc=8.6e-5,
+        imu_freq=200.0, noise_gyro=imu["noise_gyro"],
+        noise_acc=imu["noise_acc"],
+        walk_gyro=imu["walk_gyro"], walk_acc=imu["walk_acc"],
+        Tbc=tuple(imu["Tbc"].reshape(-1).tolist()),
         init_time_s=2.0, init_min_kfs=6)
     return tumvi_mono(**overrides), icfg
+
+
+def tumvi_stereo_inertial(**overrides):
+    """TUM-VI stereo-inertial (the flagship fisheye configuration —
+    BASELINE config #4).
+
+    The KB8 fisheye pair is rectified to a shared virtual pinhole
+    (io/rectify.stereo_rectify with the equidistant model — the TPU
+    front-end's stereo matcher works on row-aligned pairs; upstream
+    instead matches raw fisheye across cameras via Stereo.T_c1_c2,
+    reference include/Settings.h:32-94 precomputes the same Bouguet maps
+    for its rectified configs).  Scale is metric from stereo, so the
+    inertial init runs fixed-scale (reference bFixedScale,
+    src/Optimizer.cc:2964).
+
+    Returns (cfg, icfg, scfg, map0, map1): feed map0/map1 to the native
+    ingest or euroc_io.apply_undistort; Tbc in icfg is already composed
+    with the rectifying rotation (body <- RECTIFIED left camera).
+    """
+    import numpy as np
+
+    from .io import rectify
+    from .pipeline import stereo_system
+
+    c0, c1 = euroc_io.TUMVI_CAM0, euroc_io.TUMVI_CAM1
+    R, t = rectify.relative_pose_from_body(c0["T_BS"], c1["T_BS"])
+    map0, map1, new_k4, baseline, R1, _ = rectify.stereo_rectify(
+        c0["params"][:4], c0["params"][4:],
+        c1["params"][:4], c1["params"][4:],
+        R, t, c0["resolution"], model="kb8")
+    cfg = dict(
+        cam_model="pinhole", cam_params=new_k4,
+        image_hw=c0["resolution"],
+        orb=OrbParams(n_features=1000, n_levels=8, scale_factor=1.2,
+                      ini_th_fast=20.0, min_th_fast=7.0),
+        max_frames_between_kf=int(c0["rate_hz"]),
+        stereo_bf=new_k4[0] * baseline,
+    )
+    cfg.update(overrides)
+    cfg = base_sys.SlamConfig(**cfg)
+    # rectification rotates the camera frame: compose the extrinsic so
+    # Tbc maps RECTIFIED-left-camera coords into the body frame
+    T_rc = np.eye(4)
+    T_rc[:3, :3] = np.asarray(R1, np.float64).T
+    Tbc = euroc_io.TUMVI_IMU["Tbc"] @ T_rc
+    imu = euroc_io.TUMVI_IMU
+    icfg = inertial_system.InertialConfig(
+        imu_freq=200.0, noise_gyro=imu["noise_gyro"],
+        noise_acc=imu["noise_acc"],
+        walk_gyro=imu["walk_gyro"], walk_acc=imu["walk_acc"],
+        Tbc=tuple(Tbc.reshape(-1).tolist()),
+        init_time_s=2.0, init_min_kfs=6)
+    scfg = stereo_system.StereoConfig(baseline=baseline)
+    return cfg, icfg, scfg, map0, map1

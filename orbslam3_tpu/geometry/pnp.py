@@ -10,6 +10,18 @@ P6P solve (SVD of the stacked projection equations), all hypotheses
 evaluated in parallel, followed by the robust IRLS pose optimizer on the
 winning inlier set — same contract (pose + inliers from 2D-3D matches,
 no prior), simpler per-hypothesis math, massively parallel.
+
+The ML part of MLPnP — per-observation measurement covariances
+(MLPnPsolver.h:63-73 builds nullspace residuals weighted by the bearing
+covariance propagated from the pixel covariance) — is carried by
+`inv_sigma2`: the per-keypoint inverse pixel variance (octave noise
+model, sigma = 1.2^octave px).  For a central camera with isotropic
+per-pixel noise, chi2-weighting the pixel residual by 1/sigma2 is the
+same maximum-likelihood objective MLPnP expresses in bearing tangent
+space; it enters both hypothesis scoring and the IRLS refinement.
+Equivalence under the reference's RANSAC regime (prob .95, minInliers
+50, maxIts 300, minSet 12, 30-50% outliers) is exercised by
+tests/test_pnp.py::TestReferenceRegime.
 """
 
 from __future__ import annotations
@@ -67,7 +79,8 @@ def _dlt_p6p(X: jnp.ndarray, xn: jnp.ndarray):
 def solve_pnp(X: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
               cam_model: str, cam_params, key,
               iterations: int = 256, sample: int = 12,
-              chi2_th: float = 5.991, min_inliers: int = 30) -> PnPResult:
+              chi2_th: float = 5.991, min_inliers: int = 30,
+              inv_sigma2=None) -> PnPResult:
     """X (N,3) world points matched to uv (N,2) pixels; RANSAC + refine.
 
     sample=12 matches the reference MLPnP minSet (a 12-point DLT averages
@@ -75,29 +88,51 @@ def solve_pnp(X: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     are scored with a loosened gate (4x chi2) so near-miss poses still
     collect their true support, then the IRLS pose optimizer re-selects
     inliers at the strict threshold.
+
+    `inv_sigma2` (N,): per-observation inverse pixel variance — the
+    measurement covariance of MLPnP's ML objective (octave noise model);
+    defaults to 1.
     """
     n = X.shape[0]
+    if inv_sigma2 is None:
+        inv_sigma2 = jnp.ones(n)
     rays = cameras.unproject(cam_model, cam_params, uv)
     xn = rays[:, :2] / rays[:, 2:3]
 
     w = valid.astype(jnp.float32) + 1e-9
+    # split the hypothesis budget between `sample`-point minimal sets
+    # (12 by default — noise-averaging DLT, wins scoring when outlier
+    # rates are low) and lean 7-point sets whose all-inlier probability
+    # survives 40-50% contamination (0.5^7 vs 0.5^12 per draw) — at the
+    # reference's fixed maxIts=300 budget a 12-only sampler goes blind
+    # above ~40% outliers
+    lean = max(min(7, sample), 6)
+    n12 = iterations // 2
+    n7 = iterations - n12
+    k1, k2 = jax.random.split(key)
     idx = jax.random.categorical(
-        key, jnp.log(w)[None, :].repeat(iterations * sample, 0)
-    ).reshape(iterations, sample)
+        k1, jnp.log(w)[None, :].repeat(n12 * sample, 0)
+    ).reshape(n12, sample)
+    idx7 = jax.random.categorical(
+        k2, jnp.log(w)[None, :].repeat(n7 * lean, 0)
+    ).reshape(n7, lean)
 
     Rs, ts = jax.vmap(lambda s: _dlt_p6p(X[s], xn[s]))(idx)
+    Rs7, ts7 = jax.vmap(lambda s: _dlt_p6p(X[s], xn[s]))(idx7)
+    Rs = jnp.concatenate([Rs, Rs7])
+    ts = jnp.concatenate([ts, ts7])
 
     def score(R, t, th):
         Xc = lie.se3_apply(R, t, X)
         e = uv - cameras.project(cam_model, cam_params, Xc)
-        chi2 = jnp.sum(e * e, axis=-1)
+        chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
         ok = (chi2 < th) & valid & (Xc[:, 2] > 0.01)
         return jnp.sum(ok.astype(jnp.int32)), ok
 
     counts, inl = jax.vmap(lambda R, t: score(R, t, 4.0 * chi2_th))(Rs, ts)
     best = jnp.argmax(counts)
     res = pose_opt.pose_optimization(
-        Rs[best], ts[best], X, uv, jnp.ones(n), inl[best],
+        Rs[best], ts[best], X, uv, inv_sigma2, inl[best],
         cam_model, cam_params, rounds=3, its_per_round=6,
         chi2_th=chi2_th)
     return PnPResult(success=res.n_inliers >= min_inliers,

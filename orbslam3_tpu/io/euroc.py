@@ -58,6 +58,22 @@ EUROC_IMU = dict(
         [0.0, 0.0, 0.0, 1.0]], dtype=np.float64),
 )
 
+# TUM-VI 512x512 fisheye rig.  Calibration values are the published
+# dataset calibration as shipped in upstream ORB-SLAM3's TUM-VI configs
+# (Examples/*/TUM-VI.yaml — Tbc block + Stereo T_c1_c2); re-verify against
+# the sequence's own camchain when real data is mounted.
+_TUMVI_T_B_C0 = np.array([
+    [-0.99952504, 0.00750192, -0.02989013, 0.04557484],
+    [0.02961534, -0.03439736, -0.99896935, -0.07116180],
+    [-0.00852233, -0.99938008, 0.03415885, -0.04468125],
+    [0.0, 0.0, 0.0, 1.0]], dtype=np.float64)
+# right(cam1) camera coords -> left(cam0) camera coords ("Tlr")
+_TUMVI_T_C0_C1 = np.array([
+    [0.99999575, 0.00231713, -0.00180912, 0.10106110],
+    [-0.00231067, 0.99999099, 0.00356612, -0.00199883],
+    [0.00181737, -0.00356193, 0.99999200, -0.00145671],
+    [0.0, 0.0, 0.0, 1.0]], dtype=np.float64)
+
 TUMVI_CAM0 = dict(
     model="kb8",
     params=(190.97847715128717, 190.9733070521226,
@@ -66,6 +82,23 @@ TUMVI_CAM0 = dict(
             -0.0020532361418706202, 0.00020293673591811182),
     resolution=(512, 512),
     rate_hz=20,
+    T_BS=_TUMVI_T_B_C0,
+)
+TUMVI_CAM1 = dict(
+    model="kb8",
+    params=(190.44236969414825, 190.4344384721956,
+            252.59949716835982, 254.91723064636983,
+            0.0034003170790442797, 0.001766278153469831,
+            -0.00266312569781606, 0.0003299517423931039),
+    resolution=(512, 512),
+    rate_hz=20,
+    T_BS=_TUMVI_T_B_C0 @ _TUMVI_T_C0_C1,
+)
+TUMVI_IMU = dict(
+    # BMI160 continuous-time noise densities (TUM-VI dataset sheet)
+    noise_gyro=8.0e-5, noise_acc=1.4e-3,
+    walk_gyro=1.0e-6, walk_acc=8.6e-5, rate_hz=200,
+    Tbc=_TUMVI_T_B_C0,
 )
 
 

@@ -152,15 +152,51 @@ def cull_keyframe(m: mapstate.MapState, kf_idx) -> mapstate.MapState:
 
 def refresh_point_descriptors(m: mapstate.MapState, ff, kp_pt) -> \
         mapstate.MapState:
-    """Update representative descriptors of points re-observed in `ff`
-    toward the median-minimizing choice (reference
-    ComputeDistinctiveDescriptors approximated online: adopt the newest
-    observation's descriptor when the point has few observations, keep
-    the established one otherwise)."""
+    """ComputeDistinctiveDescriptors (reference src/MapPoint.cc:343): the
+    representative descriptor is the observation descriptor minimizing the
+    MEDIAN Hamming distance to the point's other observation descriptors.
+
+    The SoA map keeps a ring reservoir of each point's M most recent
+    observation descriptors (`pt_desc_hist`, slot = count % M).  Here we
+    (1) push the new KF's descriptor for every re-observed point and
+    (2) recompute the min-median descriptor for exactly those points with
+    one small batched popcount: the N touched points' (M, M) pairwise
+    distance cubes are (N, M, 256) bit tensors contracted on the MXU —
+    no host loop, no bank search."""
     P = m.pt_xyz.shape[0]
-    nobs = mapstate.point_obs_count(m)
-    N = kp_pt.shape[0]
+    M = m.pt_desc_hist.shape[1]
     pt = jnp.clip(kp_pt, 0, P - 1)
-    adopt = (kp_pt >= 0) & ff.valid & (nobs[pt] <= 3)
-    desc = m.pt_desc.at[jnp.where(adopt, pt, P)].set(ff.desc, mode="drop")
-    return m._replace(pt_desc=desc)
+    upd = (kp_pt >= 0) & ff.valid
+    safe_pt = jnp.where(upd, pt, P)
+
+    # 1) push into the ring reservoir
+    slot = m.pt_desc_n[pt] % M
+    hist = m.pt_desc_hist.at[safe_pt, slot].set(ff.desc, mode="drop")
+    desc_n = m.pt_desc_n.at[safe_pt].add(1, mode="drop")
+
+    # 2) min-median-Hamming over each touched point's reservoir
+    h = hist[pt]                                   # (N, M, 8) uint32
+    nvals = jnp.minimum(desc_n[pt], M)             # (N,)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((h[..., None] >> shifts) & jnp.uint32(1)).reshape(
+        h.shape[0], M, 256).astype(jnp.float32)    # (N, M, 256)
+    ones = jnp.sum(bits, axis=-1)                  # (N, M)
+    dot = jnp.einsum("nmb,nkb->nmk", bits, bits,
+                     precision=_HI)                # (N, M, M)
+    D = ones[:, :, None] + ones[:, None, :] - 2.0 * dot
+    BIG = 1e9
+    slot_ok = jnp.arange(M)[None, :] < nvals[:, None]   # (N, M)
+    # distances to invalid slots never count; the self-distance 0 is kept,
+    # matching the reference's vDists (it includes Distances[i][i] = 0)
+    Dm = jnp.where(slot_ok[:, None, :], D, BIG)
+    Ds = jnp.sort(Dm, axis=-1)                     # (N, M, M)
+    med_idx = jnp.maximum(nvals - 1, 0) // 2       # (N,)
+    med = jnp.take_along_axis(
+        Ds, med_idx[:, None, None].astype(jnp.int32).repeat(M, 1), axis=-1
+    )[..., 0]                                      # (N, M)
+    med = jnp.where(slot_ok, med, BIG)
+    best = jnp.argmin(med, axis=-1)                # (N,)
+    best_desc = jnp.take_along_axis(
+        h, best[:, None, None].repeat(8, 2), axis=1)[:, 0]   # (N, 8)
+    desc = m.pt_desc.at[safe_pt].set(best_desc, mode="drop")
+    return m._replace(pt_desc=desc, pt_desc_hist=hist, pt_desc_n=desc_n)

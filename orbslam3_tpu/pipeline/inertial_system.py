@@ -39,6 +39,61 @@ from ..solver import vi_ba as vi_ba_solver
 from . import mapping, system as base
 
 
+def reference_imu_steps(take, t0: float, t1: float, nxt=None):
+    """Integration-step schedule of reference Tracking::PreintegrateIMU
+    (src/Tracking.cc:243-283): midpoint-rule measurement values with
+    linear interpolation at the interval endpoints.
+
+    `take`: samples (t, gyro, acc) with t0 < t <= t1 (time-sorted).
+    `nxt`: the first sample beyond t1 if available (NOT consumed — the
+    reference peeks it to interpolate the final step; without it the last
+    segment extrapolates linearly, still 2nd-order vs the old
+    zero-order-hold stretch).
+
+    Returns (acc (n,3), gyr (n,3), dts (n,)) numpy float32, or None when
+    there are no samples.  sum(dts) == t1 - t0 exactly; for a signal
+    piecewise-linear between samples every step integrates exactly.
+    """
+    pts = list(take) + ([nxt] if nxt is not None else [])
+    n = len(pts) - 1
+    if n < 0:
+        return None
+    if n == 0:
+        # single sample covers the whole interval (reference i==0==n-1)
+        t, g, a = pts[0]
+        return (np.asarray([a], np.float32).reshape(1, 3),
+                np.asarray([g], np.float32).reshape(1, 3),
+                np.asarray([max(t1 - t0, 0.0)], np.float32))
+    acc = np.zeros((n, 3), np.float32)
+    gyr = np.zeros((n, 3), np.float32)
+    dts = np.zeros(n, np.float32)
+    for i in range(n):
+        ti, gi, ai = pts[i]
+        tj, gj, aj = pts[i + 1]
+        tab = max(tj - ti, 1e-9)
+        if i == 0 and i < n - 1:
+            w = (ti - t0) / tab
+            a = 0.5 * (ai + aj - (aj - ai) * w)
+            g = 0.5 * (gi + gj - (gj - gi) * w)
+            dt = tj - t0
+        elif i < n - 1:
+            a = 0.5 * (ai + aj)
+            g = 0.5 * (gi + gj)
+            dt = tab
+        elif i > 0:
+            w = (tj - t1) / tab
+            a = 0.5 * (ai + aj - (aj - ai) * w)
+            g = 0.5 * (gi + gj - (gj - gi) * w)
+            dt = t1 - ti
+        else:   # i == 0 == n-1: two samples
+            a, g = ai, gi
+            dt = t1 - t0
+        acc[i] = a
+        gyr[i] = g
+        dts[i] = max(dt, 0.0)
+    return acc, gyr, dts
+
+
 @dataclasses.dataclass(frozen=True)
 class InertialConfig:
     imu_freq: float = 200.0
@@ -74,6 +129,10 @@ class InertialSystem(base.System):
     def __init__(self, config: base.SlamConfig, icfg: InertialConfig):
         super().__init__(config)
         self.icfg = icfg
+        # the VI chain couples tracking to the KF optimization (the
+        # LastKeyFrame factor reads post-BA velocities/biases), so KF
+        # mapping work stays on the synchronous path
+        self._async_ok = False
         if icfg.Tbc:
             Tbc = np.asarray(icfg.Tbc, np.float64).reshape(4, 4)
         else:
@@ -266,31 +325,29 @@ class InertialSystem(base.System):
 
     # -------------------------------------------------------- preintegration
     def _preintegrate_interval(self, t0: Optional[float], t1: float):
-        """Preintegrate queued samples in (t0, t1] with boundary
-        interpolation like the reference (first/last sample split)."""
+        """Preintegrate queued samples in (t0, t1] with the reference's
+        midpoint + endpoint-interpolation scheme (Tracking::PreintegrateIMU,
+        src/Tracking.cc:243-283; the sample just beyond t1 is peeked but
+        left in the queue, exactly like the reference)."""
         if t0 is None:
             # drop stale samples, no preintegration for first frame
             self.imu_queue = [s for s in self.imu_queue if s[0] > t1 - 1e-9]
             return None
         take = [s for s in self.imu_queue if s[0] <= t1]
+        nxt = self.imu_queue[len(take)] \
+            if len(self.imu_queue) > len(take) else None
         self.imu_queue = self.imu_queue[len(take):]
         self.kf_imu_buffer.extend(take)
         if not take:
             return None
+        steps = reference_imu_steps(take, t0, t1, nxt)
         cap = self.icfg.max_imu_per_frame
-        n = min(len(take), cap)
+        n = min(steps[0].shape[0], cap)
         acc = np.zeros((cap, 3), np.float32)
         gyr = np.zeros((cap, 3), np.float32)
         dts = np.zeros(cap, np.float32)
-        prev_t = t0
-        for i, (st, g, a) in enumerate(take[:n]):
-            acc[i] = a
-            gyr[i] = g
-            dts[i] = max(st - prev_t, 0.0)
-            prev_t = st
-        # stretch last sample to cover until t1
-        if t1 > prev_t and n > 0:
-            dts[n - 1] += t1 - prev_t
+        acc[:n], gyr[:n], dts[:n] = \
+            steps[0][:n], steps[1][:n], steps[2][:n]
         mask = np.arange(cap) < n
         return self._preint(jnp.asarray(acc), jnp.asarray(gyr),
                             jnp.asarray(dts), jnp.asarray(mask), self.bias)
@@ -306,7 +363,8 @@ class InertialSystem(base.System):
             Rg, tg = self._body_to_cam(R2, p2)
             radius = 4.0
             tr, self.map = self._track(self.map, ff, Rg, tg,
-                                       jnp.asarray(radius, jnp.float32))
+                                       jnp.asarray(radius, jnp.float32),
+                                       self.view)
             n_inl = int(tr.n_inliers)
             if n_inl < max(8, self.cfg.min_track_inliers // 3):
                 # stay in RECENTLY_LOST predicting from the IMU (reference
@@ -444,6 +502,9 @@ class InertialSystem(base.System):
             # and re-anchor (reference src/LocalMapping.cc:192-266)
             self._initialize_imu()
             self.viba1_done = True
+        # the VI init/FIBA stages above re-anchor (Sim3) and re-optimize
+        # the whole map — the tracking view gathered in super() is stale
+        self._refresh_view()
 
     def _since_kf_factor(self, ts_now: float):
         """Capacity-1 PreintFactor covering (last KF ts, now] from the
@@ -452,19 +513,15 @@ class InertialSystem(base.System):
         take = [s for s in self.kf_imu_buffer if kf_ts < s[0] <= ts_now]
         if len(take) < 2:
             return None
+        nxt = next((s for s in self.kf_imu_buffer if s[0] > ts_now), None)
+        steps = reference_imu_steps(take, kf_ts, ts_now, nxt)
         cap = self.icfg.max_imu_per_frame * 16
-        n = min(len(take), cap)
+        n = min(steps[0].shape[0], cap)
         acc = np.zeros((cap, 3), np.float32)
         gyr = np.zeros((cap, 3), np.float32)
         dts = np.zeros(cap, np.float32)
-        prev_t = kf_ts
-        for i, (st, g, a) in enumerate(take[:n]):
-            acc[i] = a
-            gyr[i] = g
-            dts[i] = max(st - prev_t, 0.0)
-            prev_t = st
-        if ts_now > prev_t:
-            dts[n - 1] += ts_now - prev_t
+        acc[:n], gyr[:n], dts[:n] = \
+            steps[0][:n], steps[1][:n], steps[2][:n]
         mask = np.arange(cap) < n
         pre = self._preint(jnp.asarray(acc), jnp.asarray(gyr),
                            jnp.asarray(dts), jnp.asarray(mask), self.bias)
@@ -494,18 +551,8 @@ class InertialSystem(base.System):
         self.kf_imu_buffer = [s for s in self.kf_imu_buffer if s[0] > t1]
         if len(take) < 3:
             return None
-        n = len(take)
-        acc = np.zeros((n, 3), np.float32)
-        gyr = np.zeros((n, 3), np.float32)
-        dts = np.zeros(n, np.float32)
-        prev_t = t0
-        for i, (st, g, a) in enumerate(take):
-            acc[i] = a
-            gyr[i] = g
-            dts[i] = max(st - prev_t, 0.0)
-            prev_t = st
-        if t1 > prev_t:
-            dts[n - 1] += t1 - prev_t
+        nxt = self.kf_imu_buffer[0] if self.kf_imu_buffer else None
+        acc, gyr, dts = reference_imu_steps(take, t0, t1, nxt)
         return self._preint_raw(acc, gyr, dts, self.bias), (acc, gyr, dts)
 
     def _preint_raw(self, acc: np.ndarray, gyr: np.ndarray,

@@ -76,9 +76,21 @@ def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
     cv_j = flat % K
     cv_ok = vals >= float(min_covis)
 
-    ei = jnp.concatenate([ids, ids, cv_i])
-    ej = jnp.concatenate([jnp.maximum(ids - 1, 0), parent, cv_j])
-    evalid = jnp.concatenate([chain_ok, tree_ok, cv_ok])
+    # persistent loop/merge edges (reference KeyFrame::mspLoopEdges,
+    # include/KeyFrame.h:86-101): every PAST closure's KF pair re-enters
+    # every later essential graph.  Like the reference (Optimizer.cc
+    # spanning-tree+loop-edge section), the measurement is the CURRENT
+    # relative pose — the map was already corrected to satisfy the loop,
+    # so the edge's job now is to keep the welded seam closed.
+    K_c = jnp.maximum(K - 1, 0)
+    li = jnp.clip(m.loop_i, 0, K_c)
+    lj = jnp.clip(m.loop_j, 0, K_c)
+    l_ok = m.loop_valid & (m.loop_i >= 0) & (m.loop_j >= 0) & \
+        m.kf_valid[li] & m.kf_valid[lj]
+
+    ei = jnp.concatenate([ids, ids, cv_i, li])
+    ej = jnp.concatenate([jnp.maximum(ids - 1, 0), parent, cv_j, lj])
+    evalid = jnp.concatenate([chain_ok, tree_ok, cv_ok, l_ok])
     # measurement S_ij = S_i . S_j^-1 from current poses (s=1)
     Ri, ti = m.kf_R[ei], m.kf_t[ei]
     Rj, tj = m.kf_R[ej], m.kf_t[ej]
@@ -108,8 +120,9 @@ class LoopCloser:
         self.codebook = jnp.asarray(vocab_mod.load_codebook(
             cfg.n_words, prefer_trained=(cfg.vocab == "trained")))
         self.db = kdb.KeyframeDB.create(n_kf_capacity, cfg.n_words)
-        self.consistent_count = 0
-        self.last_candidate = -1
+        # consistency chains: list of (covis-group frozenset, count) —
+        # reference LoopClosing::DetectLoop mvConsistentGroups
+        self.consistent_groups: list[tuple[frozenset, int]] = []
         self.n_loops_closed = 0
         self._build_jits()
 
@@ -126,8 +139,26 @@ class LoopCloser:
         def _covis_row(m, kf_idx):
             return mapstate.covisibility_weights(m, kf_idx)
 
+        @jax.jit
+        def _detect(m, db, bow, kf_idx):
+            """DetectNBestCandidates + the covisibility adjacency needed
+            for group consistency, in one program (one host sync)."""
+            K = m.kf_R.shape[0]
+            live = mapstate.live_incidence(m).astype(jnp.float32)
+            W = jnp.matmul(live.T, live,
+                           precision=jax.lax.Precision.HIGHEST)
+            ids = jnp.arange(K)
+            covis = (W >= 15.0) & (ids[:, None] != ids[None, :]) & \
+                m.kf_valid[:, None] & m.kf_valid[None, :]
+            exclude = covis[kf_idx] | \
+                (ids > kf_idx - self.cfg.min_kf_gap)
+            cand, score = kdb.detect_candidates(
+                db, bow, exclude, covis, n_best=3)
+            return cand, score, covis
+
         self._bow = _bow
         self._covis_row = _covis_row
+        self._detect_jit = _detect
 
     # ------------------------------------------------------------- keyframe
     def add_keyframe(self, m: mapstate.MapState, kf_idx: int, ff) -> None:
@@ -136,29 +167,36 @@ class LoopCloser:
 
     # ------------------------------------------------------------ detection
     def detect(self, m: mapstate.MapState, kf_idx: int, ff) -> int:
-        """Returns loop-candidate KF index or -1."""
+        """Returns loop-candidate KF index or -1.
+
+        Candidates come from DetectNBestCandidates (covisibility-group
+        accumulated TF-IDF scores — reference src/KeyFrameDatabase.cc:602);
+        acceptance requires the reference's covisibility-consistency
+        chains (LoopClosing::DetectLoop): a candidate's covis group must
+        intersect a group detected at each of the last
+        `consistency_needed` keyframes."""
         bow, _ = self._bow(ff.desc, ff.valid)
-        covis = self._covis_row(m, jnp.asarray(kf_idx, jnp.int32))
-        K = m.kf_R.shape[0]
-        exclude = (covis > 0) | \
-            (jnp.arange(K) > kf_idx - self.cfg.min_kf_gap)
-        scores, common = kdb.query(self.db, bow, exclude=exclude,
-                                  min_common_words=self.cfg.min_common_words)
-        cand = int(jnp.argmax(scores))
-        if float(scores[cand]) <= 0:
-            self.consistent_count = 0
-            self.last_candidate = -1
-            return -1
-        # temporal consistency: same (or covisible-adjacent) candidate for
-        # several consecutive keyframes (reference consistency groups)
-        if self.last_candidate >= 0 and abs(cand - self.last_candidate) <= 3:
-            self.consistent_count += 1
-        else:
-            self.consistent_count = 1
-        self.last_candidate = cand
-        if self.consistent_count >= self.cfg.consistency_needed:
-            return cand
-        return -1
+        cand_idx, cand_score, covis = self._detect_jit(
+            m, self.db, bow, jnp.asarray(kf_idx, jnp.int32))
+        cand_np = np.asarray(cand_idx)
+        covis_np = np.asarray(covis)
+        accepted = -1
+        new_groups: list[tuple[frozenset, int]] = []
+        for cand in cand_np:
+            cand = int(cand)
+            if cand < 0:
+                continue
+            group = frozenset(np.nonzero(covis_np[cand])[0].tolist()) | \
+                {cand}
+            count = 0
+            for (pg, pc) in self.consistent_groups:
+                if not group.isdisjoint(pg):
+                    count = max(count, pc + 1)
+            new_groups.append((group, count))
+            if count + 1 >= self.cfg.consistency_needed and accepted < 0:
+                accepted = cand
+        self.consistent_groups = new_groups
+        return accepted
 
     # ------------------------------------------------------------- closure
     def try_close(self, system, ff, kf_idx: int) -> bool:
@@ -209,9 +247,14 @@ class LoopCloser:
         R_lc, t_lc, s_lc = lie.sim3_inverse(res.R12, res.t12, res.s12)
         res = res._replace(R12=R_lc, t12=t_lc, s12=s_lc)
         self._correct_loop(system, kf_idx, cand, res)
+        # persist the loop edge AFTER correction (reference
+        # KeyFrame::AddLoopEdge in CorrectLoop): every later essential
+        # graph re-includes this pair, so a second closure cannot forget
+        # the first seam
+        system.map = mapstate.add_loop_edge(
+            system.map, kf_idx, cand, res.R12, res.t12, res.s12)
         self.n_loops_closed += 1
-        self.consistent_count = 0
-        self.last_candidate = -1
+        self.consistent_groups = []
         return True
 
     # ------------------------------------------------------------ correction

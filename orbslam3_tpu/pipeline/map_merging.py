@@ -118,6 +118,13 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         # observations
         system.map = system._local_ba(
             system.map, jnp.asarray(system.last_kf_idx, jnp.int32))
+        # persist the weld as a merge edge (reference KeyFrame merge edges,
+        # include/KeyFrame.h:86-101): every later essential graph keeps
+        # the two sessions pinned together through this pair
+        from ..slam_map import state as mapstate
+        system.map = mapstate.add_loop_edge(
+            system.map, system.last_kf_idx, cand,
+            res.R12, res.t12, res.s12)
         # current camera pose: read from the merged (transformed) map
         ki = system.last_kf_idx
         system.R_cur = system.map.kf_R[ki]

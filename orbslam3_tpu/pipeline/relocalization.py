@@ -55,13 +55,21 @@ def attempt_relocalization(system, ff, loop_closer,
         P = m.pt_xyz.shape[0]
         pt_idx = jnp.clip(cand_kp_pt[jnp.maximum(mm.idx, 0)], 0, P - 1)
         X = m.pt_xyz[pt_idx]
+        # culling/fusion may have invalidated a bound point since the
+        # candidate KF was inserted — never solve against dead points
+        match_ok = mm.valid & m.pt_valid[pt_idx]
         # prior-free robust PnP (the MLPnP RANSAC slot), which internally
         # refines with the IRLS pose optimizer
         from ..geometry import pnp
+        # octave noise model = the measurement covariance of MLPnP's ML
+        # objective (reference MLPnPsolver.h:63-73 propagates it to
+        # bearing space; here it weights the pixel chi2 directly)
+        sf = system.cfg.orb.scale_factor ** jnp.clip(
+            ff.octave, 0, system.cfg.orb.n_levels - 1).astype(jnp.float32)
         res = pnp.solve_pnp(
-            X, ff.xy, mm.valid, system.cfg.cam_model, system.cam_params,
+            X, ff.xy, match_ok, system.cfg.cam_model, system.cam_params,
             jax.random.PRNGKey(system.frame_id),
-            min_inliers=min_inliers)
+            min_inliers=min_inliers, inv_sigma2=1.0 / (sf * sf))
         if bool(res.success):
             return True, res.R, res.t
     return False, None, None

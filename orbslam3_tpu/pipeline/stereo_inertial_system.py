@@ -30,6 +30,10 @@ class StereoInertialSystem(inertial_system.InertialSystem):
         self._stereo_jit = jax.jit(lambda fl, fr: stereo_mod.stereo_match(
             fl, fr, fx, scfg.baseline,
             max_depth=scfg.max_depth_factor * scfg.baseline * 3))
+        self._refine_jit = jax.jit(
+            lambda il, ir, xy, d: stereo_mod.refine_disparity(
+                il.astype(jnp.float32), ir.astype(jnp.float32), xy, d,
+                fx, scfg.baseline))
 
     # borrow the stereo front-end pieces
     _stereo_initialize = stereo_system.StereoSystem._stereo_initialize
@@ -39,6 +43,7 @@ class StereoInertialSystem(inertial_system.InertialSystem):
         super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)
         # depth-based new points (same post-step as StereoSystem)
         stereo_system.StereoSystem._stereo_new_points(self, ff)
+        self._refresh_view()
 
     def track_stereo(self, img_l, img_r, ts: float,
                      features_l: FeatureFrame | None = None,
@@ -46,6 +51,12 @@ class StereoInertialSystem(inertial_system.InertialSystem):
         ff_l = features_l if features_l is not None else self._extract(img_l)
         ff_r = features_r if features_r is not None else self._extract(img_r)
         self._depth = self._stereo_jit(ff_l, ff_r)
+        if img_l is not None and img_r is not None:
+            # subpixel SSD disparity refinement (Frame::ComputeStereoMatches
+            # parity) — integer-keypoint disparities alone corrupt metric
+            # scale at large baseline-to-depth ratios
+            self._depth = self._refine_jit(img_l, img_r, ff_l.xy,
+                                           self._depth)
         self._frame_preint = self._preintegrate_interval(
             self.last_frame_ts, ts)
         self.last_frame_ts = ts

@@ -113,10 +113,27 @@ def merge_maps(m_old: mapstate.MapState, m_new: mapstate.MapState,
         obs_octave=splice(m.obs_octave, t.obs_octave, no_o, no_n),
         obs_ur=splice(m.obs_ur, t.obs_ur, no_o, no_n),
         obs_valid=splice(m.obs_valid, t.obs_valid, no_o, no_n),
+        pt_desc_hist=splice(m.pt_desc_hist, t.pt_desc_hist, np_o, np_n),
+        pt_desc_n=splice(m.pt_desc_n, t.pt_desc_n, np_o, np_n),
         n_kf=jnp.asarray(nk_o + nk_n, jnp.int32),
         n_pt=jnp.asarray(np_o + np_n, jnp.int32),
         n_obs=jnp.asarray(no_o + no_n, jnp.int32),
     )
+    # persistent loop edges of the incoming map ride along with shifted
+    # keyframe indices (reference merge keeps every KF's mspLoopEdges)
+    nl_o, nl_n = int(m_old.n_loop), int(m_new.n_loop)
+    if nl_n and nl_o + nl_n <= m.loop_i.shape[0]:
+        m = m._replace(
+            loop_i=splice(m.loop_i, m_new.loop_i + nk_o, nl_o, nl_n),
+            loop_j=splice(m.loop_j, m_new.loop_j + nk_o, nl_o, nl_n),
+            loop_R=splice(m.loop_R, m_new.loop_R, nl_o, nl_n),
+            # camera-frame relative translations rescale with the global
+            # weld scale (x_cam' = s x_cam under transform_map)
+            loop_t=splice(m.loop_t, m_new.loop_t * s, nl_o, nl_n),
+            loop_s=splice(m.loop_s, m_new.loop_s, nl_o, nl_n),
+            loop_valid=splice(m.loop_valid, m_new.loop_valid, nl_o, nl_n),
+            n_loop=jnp.asarray(nl_o + nl_n, jnp.int32),
+        )
     # splice bypassed add_observations: recompute the incidence grid
     m = mapstate.rebuild_incidence(m)
     return m, nk_o, np_o

@@ -30,6 +30,8 @@ class MapCapacity:
     n_kf: int = 256
     n_pt: int = 24576
     n_obs: int = 196608
+    n_loop_edges: int = 32   # persistent loop/merge edge slots
+    n_desc_hist: int = 8     # per-point descriptor reservoir depth
 
 
 class MapState(NamedTuple):
@@ -59,6 +61,26 @@ class MapState(NamedTuple):
     obs_octave: jnp.ndarray  # (O,) int32
     obs_ur: jnp.ndarray      # (O,) stereo right-u (-1 = mono observation)
     obs_valid: jnp.ndarray   # (O,) bool
+    # --- persistent loop/merge edges ----------------------------------------
+    # The reference keeps mspLoopEdges / merge edges on KeyFrames forever
+    # (include/KeyFrame.h:86-101) and every later OptimizeEssentialGraph
+    # includes them (src/Optimizer.cc:1848-2179).  Fixed-capacity measured
+    # Sim3 edges (i, j, S_ij with x_i = s R x_j + t), appended at every
+    # loop closure / map merge and consumed by build_essential_graph.
+    loop_i: jnp.ndarray      # (L,) int32
+    loop_j: jnp.ndarray      # (L,) int32
+    loop_R: jnp.ndarray      # (L,3,3)
+    loop_t: jnp.ndarray      # (L,3)
+    loop_s: jnp.ndarray      # (L,)
+    loop_valid: jnp.ndarray  # (L,) bool
+    n_loop: jnp.ndarray      # () int32
+    # --- per-point descriptor reservoir -------------------------------------
+    # ComputeDistinctiveDescriptors (reference src/MapPoint.cc:343) needs
+    # the point's observation descriptors; the SoA map keeps a ring of the
+    # M most recent ones (slot = count % M) so the min-median-Hamming
+    # reduction is a gather + elementwise popcount, not a bank search.
+    pt_desc_hist: jnp.ndarray  # (P, M, 8) uint32
+    pt_desc_n: jnp.ndarray     # (P,) int32 total descriptors pushed
     # --- counters (traced scalars) ----------------------------------------
     n_kf: jnp.ndarray        # () int32 next free kf slot
     n_pt: jnp.ndarray        # () int32 next free point slot
@@ -77,6 +99,7 @@ class MapState(NamedTuple):
 
 def empty_map(cap: MapCapacity) -> MapState:
     K, P, O = cap.n_kf, cap.n_pt, cap.n_obs
+    L, M = cap.n_loop_edges, cap.n_desc_hist
     return MapState(
         kf_R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1)),
         kf_t=jnp.zeros((K, 3), jnp.float32),
@@ -101,6 +124,15 @@ def empty_map(cap: MapCapacity) -> MapState:
         obs_octave=jnp.zeros(O, jnp.int32),
         obs_ur=jnp.full(O, -1.0, jnp.float32),
         obs_valid=jnp.zeros(O, bool),
+        loop_i=jnp.full(L, -1, jnp.int32),
+        loop_j=jnp.full(L, -1, jnp.int32),
+        loop_R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (L, 1, 1)),
+        loop_t=jnp.zeros((L, 3), jnp.float32),
+        loop_s=jnp.ones(L, jnp.float32),
+        loop_valid=jnp.zeros(L, bool),
+        n_loop=jnp.zeros((), jnp.int32),
+        pt_desc_hist=jnp.zeros((P, M, 8), jnp.uint32),
+        pt_desc_n=jnp.zeros(P, jnp.int32),
         n_kf=jnp.zeros((), jnp.int32),
         n_pt=jnp.zeros((), jnp.int32),
         n_obs=jnp.zeros((), jnp.int32),
@@ -165,9 +197,28 @@ def add_points(m: MapState, xyz, desc, normal, min_dist, max_dist,
         pt_found=wr(m.pt_found, jnp.ones(B, jnp.int32)),
         pt_visible=wr(m.pt_visible, jnp.ones(B, jnp.int32)),
         pt_valid=wr(m.pt_valid, write),
+        pt_desc_hist=m.pt_desc_hist.at[dst_c, 0].set(desc, mode="drop"),
+        pt_desc_n=wr(m.pt_desc_n, jnp.ones(B, jnp.int32)),
         n_pt=jnp.minimum(base + n_new, P),
     )
     return m, jnp.where(write, dst, -1)
+
+
+def add_loop_edge(m: MapState, i, j, R, t, s) -> MapState:
+    """Persist one measured Sim3 loop/merge edge x_i = s R x_j + t
+    (reference KeyFrame::AddLoopEdge / AddMergeEdge,
+    include/KeyFrame.h:86-101).  Capacity-saturating like add_keyframe."""
+    L = m.loop_i.shape[0]
+    e = m.n_loop
+    return m._replace(
+        loop_i=m.loop_i.at[e].set(jnp.asarray(i, jnp.int32)),
+        loop_j=m.loop_j.at[e].set(jnp.asarray(j, jnp.int32)),
+        loop_R=m.loop_R.at[e].set(R),
+        loop_t=m.loop_t.at[e].set(t),
+        loop_s=m.loop_s.at[e].set(s),
+        loop_valid=m.loop_valid.at[e].set(True),
+        n_loop=jnp.minimum(e + 1, L),
+    )
 
 
 def add_observations(m: MapState, kf_idx, pt_idx, uv, octave,
@@ -249,6 +300,66 @@ def covisibility_weights(m: MapState, kf_idx: jnp.ndarray) -> jnp.ndarray:
     return counts.astype(jnp.int32).at[kf_idx].set(0)
 
 
+class PointView(NamedTuple):
+    """Bounded local-map view for per-frame tracking.
+
+    The reference tracks against a LOCAL map — UpdateLocalKeyFrames picks
+    the keyframes sharing points with the current frame (<=80) and
+    UpdateLocalPoints collects their points (src/Tracking.cc:2964-3090) —
+    precisely so per-frame cost scales with the local neighborhood, not
+    the whole map.  The TPU equivalent: gather the covisibility
+    neighborhood's points into a fixed small buffer once per keyframe, so
+    the per-frame (P, N) projection/matching planes are V-sized (V ~ 8k)
+    instead of capacity-sized (24k).  `idx` maps view slots back to global
+    point slots (-1 = empty)."""
+    xyz: jnp.ndarray       # (V, 3)
+    normal: jnp.ndarray    # (V, 3)
+    min_dist: jnp.ndarray  # (V,)
+    max_dist: jnp.ndarray  # (V,)
+    desc: jnp.ndarray      # (V, 8) uint32
+    valid: jnp.ndarray     # (V,) bool
+    idx: jnp.ndarray       # (V,) int32 global slot, -1 = empty
+
+
+def gather_local_view(m: MapState, center_kf, n_points: int,
+                      window: int = 12) -> PointView:
+    """Points of the center KF's covisibility window, most-observed first
+    (same budget policy as the BA window's sorted point selection).
+
+    One covis matvec + one incidence matvec + one argsort — runs once per
+    keyframe, amortized over every tracked frame in between."""
+    K = m.kf_R.shape[0]
+    P = m.pt_xyz.shape[0]
+    covis = covisibility_weights(m, center_kf)
+    kf_ids = jnp.arange(K)
+    cscore = jnp.where(m.kf_valid & (kf_ids != center_kf), covis, 0)
+    top_vals, top_idx = jax.lax.top_k(cscore, max(window - 1, 1))
+    kf_mask = jnp.zeros(K, jnp.float32).at[top_idx].set(
+        (top_vals > 0).astype(jnp.float32))
+    kf_mask = kf_mask.at[center_kf].set(1.0)
+    live = live_incidence(m).astype(jnp.float32)
+    score = jnp.einsum("pk,k->p", live, kf_mask,
+                       precision=jax.lax.Precision.HIGHEST)
+    order = jnp.argsort(jnp.where(score > 0, -score, jnp.inf))
+    sel = order[:n_points]
+    n_in = jnp.sum((score > 0).astype(jnp.int32))
+    ok = (jnp.arange(n_points) < n_in) & m.pt_valid[sel]
+    return PointView(
+        xyz=m.pt_xyz[sel], normal=m.pt_normal[sel],
+        min_dist=m.pt_min_dist[sel], max_dist=m.pt_max_dist[sel],
+        desc=m.pt_desc[sel], valid=ok,
+        idx=jnp.where(ok, sel, -1).astype(jnp.int32))
+
+
+def full_view(m: MapState) -> PointView:
+    """Identity view over the whole point array (local view disabled)."""
+    P = m.pt_xyz.shape[0]
+    return PointView(xyz=m.pt_xyz, normal=m.pt_normal,
+                     min_dist=m.pt_min_dist, max_dist=m.pt_max_dist,
+                     desc=m.pt_desc, valid=m.pt_valid,
+                     idx=jnp.arange(P, dtype=jnp.int32))
+
+
 def compact(m: MapState) -> tuple[MapState, jnp.ndarray]:
     """Reclaim point/observation slots freed by culling and fusion.
 
@@ -294,6 +405,7 @@ def compact(m: MapState) -> tuple[MapState, jnp.ndarray]:
         pt_found=pg(m.pt_found), pt_visible=pg(m.pt_visible),
         pt_first_frame=jnp.where(kept, m.pt_first_frame[order], -1),
         pt_valid=kept & m.pt_valid[order],
+        pt_desc_hist=pg(m.pt_desc_hist), pt_desc_n=pg(m.pt_desc_n),
         obs_kf=og(m.obs_kf, -1), obs_pt=og(new_pt, -1),
         obs_uv=og(m.obs_uv, 0.0), obs_octave=og(m.obs_octave, 0),
         obs_ur=og(m.obs_ur, -1.0),

@@ -29,6 +29,27 @@ def block_texture(rng: np.random.Generator, size: int = 1024,
     return (30.0 + 195.0 * out).astype(np.float32)
 
 
+def voronoi_texture(rng: np.random.Generator, size: int = 1024,
+                    n_seeds: int = 500) -> np.ndarray:
+    """Voronoi-cell texture: random polygonal cells with per-cell
+    intensity + a fine speckle layer.  A texture FAMILY disjoint from
+    block_texture (irregular oblique edges and junctions vs axis-aligned
+    multi-scale blocks) — used to test vocabulary/extractor
+    generalization beyond the statistics they were trained on."""
+    pts = rng.uniform(0, size, (n_seeds, 2)).astype(np.float32)
+    vals = rng.uniform(0.0, 1.0, n_seeds).astype(np.float32)
+    out = np.zeros((size, size), np.float32)
+    xs = np.arange(size, dtype=np.float32)
+    for r0 in range(0, size, 128):           # row tiles bound memory
+        yy = np.arange(r0, r0 + 128, dtype=np.float32)[:, None, None]
+        xx = xs[None, :, None]
+        d2 = (xx - pts[None, None, :, 0]) ** 2 + \
+             (yy - pts[None, None, :, 1]) ** 2
+        out[r0:r0 + 128] = vals[np.argmin(d2, axis=-1)]
+    speck = rng.uniform(-0.08, 0.08, (size, size)).astype(np.float32)
+    return np.clip(30.0 + 195.0 * (out + speck), 0, 255).astype(np.float32)
+
+
 def default_mesas(rng: np.random.Generator, n: int = 24,
                   area: float = 10.0) -> tuple:
     """Random elevated textured rectangles toward the camera (negative z).
@@ -49,23 +70,54 @@ def default_mesas(rng: np.random.Generator, n: int = 24,
 DEFAULT_MESAS = default_mesas(np.random.default_rng(99))
 
 
+def pinhole_rays(K4, hw) -> np.ndarray:
+    """(H, W, 3) camera-frame ray directions for a pinhole camera."""
+    h, w = hw
+    fx, fy, cx, cy = [float(v) for v in K4]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))
+    return np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+
+
+def kb8_rays(params, hw) -> np.ndarray:
+    """(H, W, 3) camera-frame UNIT ray directions for a Kannala-Brandt
+    fisheye (params = fx fy cx cy k1..k4): per-pixel Newton inversion of
+    theta_d = theta(1 + k1 th^2 + ... + k4 th^8)."""
+    h, w = hw
+    fx, fy, cx, cy, k1, k2, k3, k4 = [float(v) for v in params]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+    rd = np.sqrt(xd * xd + yd * yd)
+    th = rd.copy()
+    for _ in range(10):
+        t2 = th * th
+        f = th * (1 + k1 * t2 + k2 * t2 ** 2 + k3 * t2 ** 3 +
+                  k4 * t2 ** 4) - rd
+        df = 1 + 3 * k1 * t2 + 5 * k2 * t2 ** 2 + 7 * k3 * t2 ** 3 + \
+            9 * k4 * t2 ** 4
+        th = th - f / np.maximum(df, 1e-6)
+    s = np.where(rd > 1e-9, np.sin(th) / np.maximum(rd, 1e-9), 1.0)
+    return np.stack([xd * s, yd * s, np.cos(th)], -1).astype(np.float32)
+
+
 def render_plane(R_cw: np.ndarray, t_cw: np.ndarray, K4, hw,
                  texture: np.ndarray, tex_scale: float = 100.0,
-                 mesas=DEFAULT_MESAS) -> np.ndarray:
+                 mesas=DEFAULT_MESAS, rays: np.ndarray | None = None
+                 ) -> np.ndarray:
     """Render one view of the textured z=0 ground plane plus elevated
     textured mesas (z<0 rectangles facing the camera).
 
     R_cw/t_cw: world->camera.  tex_scale: texture pixels per world unit.
+    `rays`: optional (H, W, 3) camera-frame ray directions (e.g.
+    kb8_rays for a fisheye view); default = pinhole rays from K4.
     Returns (H, W) float32 image in [0, 255]; rays missing all surfaces
     are 0.
     """
-    h, w = hw
-    fx, fy, cx, cy = [float(v) for v in K4]
     Rwc = R_cw.T
     twc = -Rwc @ t_cw
-    u, v = np.meshgrid(np.arange(w, dtype=np.float32),
-                       np.arange(h, dtype=np.float32))
-    d_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+    d_cam = pinhole_rays(K4, hw) if rays is None else rays
     d_w = d_cam @ Rwc.T                               # (H,W,3)
     dz = d_w[..., 2]
     dz_safe = np.where(np.abs(dz) < 1e-6, 1e-6, dz)
@@ -96,6 +148,48 @@ def render_plane(R_cw: np.ndarray, t_cw: np.ndarray, K4, hw,
     img = (t00 * (1 - fx_) + t01 * fx_) * (1 - fy_) + \
         (t10 * (1 - fx_) + t11 * fx_) * fy_
     return np.where(hit, img, 0.0).astype(np.float32)
+
+
+def photometric_stress(img: np.ndarray, exposure: float = 1.0,
+                       gamma: float = 1.0, vignette: float = 0.0,
+                       blur_px: float = 0.0, blur_dir=(1.0, 0.0),
+                       noise: float = 0.0,
+                       rng: np.random.Generator | None = None
+                       ) -> np.ndarray:
+    """Photometric stress model for hostile synthetic drives (stands in
+    for the EuRoC/TUM-VI photometric regimes: auto-exposure steps, gamma
+    differences, lens vignetting, motion blur, sensor noise).
+
+    exposure: multiplicative gain.  gamma: (img/255)**gamma curve.
+    vignette: 0..1 corner attenuation (cos^4-style radial falloff).
+    blur_px: linear motion-blur length in pixels along blur_dir.
+    noise: additive Gaussian sigma (greylevels).  Returns [0,255] f32.
+    """
+    out = img.astype(np.float32)
+    if gamma != 1.0:
+        out = 255.0 * np.power(np.clip(out, 0, 255) / 255.0, gamma)
+    if exposure != 1.0:
+        out = out * exposure
+    if vignette > 0.0:
+        h, w = out.shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        r2 = (((xx - w / 2) / (w / 2)) ** 2 +
+              ((yy - h / 2) / (h / 2)) ** 2) / 2.0
+        out = out * (1.0 - vignette * r2 ** 2)
+    if blur_px >= 1.0:
+        n = int(np.ceil(blur_px))
+        dx, dy = blur_dir
+        nrm = max(np.hypot(dx, dy), 1e-9)
+        dx, dy = dx / nrm, dy / nrm
+        acc = np.zeros_like(out)
+        for k in range(n):
+            off = (k - (n - 1) / 2.0) * blur_px / max(n, 1)
+            sx, sy = int(round(off * dx)), int(round(off * dy))
+            acc += np.roll(np.roll(out, sy, axis=0), sx, axis=1)
+        out = acc / n
+    if noise > 0.0 and rng is not None:
+        out = out + rng.normal(0.0, noise, out.shape)
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
 
 
 def look_down_pose(x: float, y: float, zdist: float, yaw: float = 0.0,

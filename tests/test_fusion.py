@@ -97,6 +97,51 @@ class TestKFCulling:
         # observations of KF2 dropped; other KFs unaffected
         assert int(jnp.sum(m2.obs_valid)) == 4 * n
 
+    def test_distinctive_descriptor_is_min_median(self):
+        """refresh_point_descriptors must realize ComputeDistinctiveDescriptors
+        (reference src/MapPoint.cc:343): after several observations, the
+        representative descriptor minimizes the median Hamming distance to
+        the point's observation descriptors."""
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 2 ** 32, 8, dtype=np.uint32)
+
+        def flip(d, nbits, seed):
+            r = np.random.default_rng(seed)
+            out = d.copy()
+            for _ in range(nbits):
+                w, b = r.integers(0, 8), r.integers(0, 32)
+                out[w] ^= np.uint32(1 << b)
+            return out
+
+        # 5 observation descriptors: a central one, three near it, one far
+        descs = [flip(base, 40, 1), base.copy(), flip(base, 8, 2),
+                 flip(base, 10, 3), flip(base, 12, 4)]
+
+        m = base_map()
+        m, _ = mapstate.add_keyframe(m, jnp.eye(3), jnp.zeros(3), 0.0, 0)
+        X = np.array([[0.0, 0.0, 5.0]], np.float32)
+        m, p = mapstate.add_points(
+            m, jnp.asarray(X), jnp.asarray(descs[0][None]),
+            jnp.zeros((1, 3)), jnp.ones(1), jnp.full(1, 20.0), 0, 0,
+            jnp.ones(1, bool))
+        uv = np.asarray(cameras.pinhole_project(K4j, jnp.asarray(X)))
+        kp_pt = pad_binding(p[:1])
+        for d in descs[1:]:
+            ff = make_ff(uv, d[None])
+            m = fusion.refresh_point_descriptors(m, ff, kp_pt)
+        got = np.asarray(m.pt_desc[p[0]])
+
+        # numpy oracle: exact reference reduction (all-pairs, median of
+        # each row's sorted distances incl. self-0, argmin)
+        def ham(a, b):
+            return sum(bin(int(x) ^ int(y)).count("1")
+                       for x, y in zip(a, b))
+        D = np.array([[ham(a, b) for b in descs] for a in descs])
+        med = np.sort(D, axis=1)[:, (len(descs) - 1) // 2]
+        expect = descs[int(np.argmin(med))]
+        np.testing.assert_array_equal(got, expect)
+        assert int(m.pt_desc_n[p[0]]) == 5
+
     def test_unique_view_not_redundant(self):
         n = 20
         m = base_map()

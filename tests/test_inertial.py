@@ -71,6 +71,62 @@ def make_factors(accs, gyrs, dt):
     return inertial.stack_preints(preints, ki, kj, capacity=len(preints))
 
 
+class TestReferenceImuSteps:
+    """Endpoint-interpolation parity with reference
+    Tracking::PreintegrateIMU (src/Tracking.cc:243-283)."""
+
+    def _signal(self, t):
+        # linear vector signals: midpoint rule integrates these EXACTLY
+        a = np.stack([2.0 * t + 1.0, -0.5 * t, 0.3 * t + 4.0])
+        g = np.stack([0.1 * t, 0.2 * t - 1.0, -0.05 * t])
+        return g.astype(np.float32), a.astype(np.float32)
+
+    def _exact(self, t0, t1):
+        # integral of the linear signal over [t0, t1]
+        def I(k, c):
+            return k * (t1 ** 2 - t0 ** 2) / 2 + c * (t1 - t0)
+        a = np.array([I(2.0, 1.0), I(-0.5, 0.0), I(0.3, 4.0)])
+        g = np.array([I(0.1, 0.0), I(0.2, -1.0), I(-0.05, 0.0)])
+        return g, a
+
+    def test_nonuniform_times_exact_for_linear_signal(self):
+        from orbslam3_tpu.pipeline.inertial_system import reference_imu_steps
+        rng = np.random.default_rng(3)
+        t0, t1 = 0.1234, 0.8311
+        # non-uniform interior times + one sample beyond t1
+        times = np.sort(rng.uniform(t0 + 1e-3, t1, 9))
+        t_next = t1 + 0.0137
+        take = [(float(t), *self._signal(t)) for t in times]
+        nxt = (float(t_next), *self._signal(t_next))
+        acc, gyr, dts = reference_imu_steps(take, t0, t1, nxt)
+        np.testing.assert_allclose(float(np.sum(dts)), t1 - t0, rtol=1e-6)
+        g_exact, a_exact = self._exact(t0, t1)
+        np.testing.assert_allclose(acc.T @ dts, a_exact, rtol=1e-4)
+        np.testing.assert_allclose(gyr.T @ dts, g_exact, rtol=1e-4)
+
+    def test_no_next_sample_extrapolates(self):
+        from orbslam3_tpu.pipeline.inertial_system import reference_imu_steps
+        rng = np.random.default_rng(4)
+        t0, t1 = 0.0, 1.0
+        times = np.sort(rng.uniform(0.01, 0.97, 8))
+        take = [(float(t), *self._signal(t)) for t in times]
+        acc, gyr, dts = reference_imu_steps(take, t0, t1, None)
+        np.testing.assert_allclose(float(np.sum(dts)), t1 - t0, rtol=1e-6)
+        g_exact, a_exact = self._exact(t0, t1)
+        # linear extrapolation of the final segment keeps exactness
+        np.testing.assert_allclose(acc.T @ dts, a_exact, rtol=1e-3)
+        np.testing.assert_allclose(gyr.T @ dts, g_exact, rtol=1e-3)
+
+    def test_degenerate_counts(self):
+        from orbslam3_tpu.pipeline.inertial_system import reference_imu_steps
+        assert reference_imu_steps([], 0.0, 0.1, None) is None
+        g, a = self._signal(0.05)
+        acc, gyr, dts = reference_imu_steps([(0.05, g, a)], 0.0, 0.1, None)
+        # single sample: raw value over the whole interval (i==0==n-1)
+        np.testing.assert_allclose(dts, [0.1], rtol=1e-6)
+        np.testing.assert_allclose(acc[0], a, rtol=1e-6)
+
+
 class TestInertialResidual:
     def test_zero_at_ground_truth(self):
         Rs, ps, vs, accs, gyrs, dt = simulate()

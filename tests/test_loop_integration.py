@@ -139,3 +139,180 @@ class TestLoopIntegration:
         d = np.asarray(m2.pt_xyz[ptr]) - X0[:150]
         assert np.linalg.norm(d, axis=1).mean() < 0.2, \
             np.linalg.norm(d, axis=1).mean()
+        # the closure persisted its edge (reference KeyFrame::AddLoopEdge)
+        assert int(m2.n_loop) == 1
+        assert int(m2.loop_i[0]) == int(kr) and int(m2.loop_j[0]) == 0
+
+    def test_second_closure_keeps_first_seam(self):
+        """TWO loop closures: the second pose-graph solve must still contain
+        the first loop edge (reference KeyFrame::mspLoopEdges,
+        include/KeyFrame.h:86-101 consumed by OptimizeEssentialGraph,
+        src/Optimizer.cc:1848-2179) so the first seam stays closed."""
+        rng = np.random.default_rng(5)
+        n_pts = 180
+
+        def place(x_off):
+            X = np.stack([rng.uniform(-3, 3, n_pts) + x_off,
+                          rng.uniform(-2, 2, n_pts),
+                          rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+            d = rng.integers(0, 2 ** 32, (n_pts, 8), dtype=np.uint32)
+            return X, d
+
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=(480, 752), enable_loop_closing=False,
+            map_capacity=mapstate.MapCapacity(n_kf=32, n_pt=4096,
+                                              n_obs=16384))
+        sys_ = slam_system.System(cfg)
+        lc = loop_closing.LoopCloser(
+            loop_closing.LoopConfig(consistency_needed=1, min_kf_gap=5),
+            cfg.map_capacity.n_kf)
+        m = sys_.map
+
+        def add_kf(k, X, desc, R, t, n_obs=None):
+            nonlocal m
+            n = X.shape[0] if n_obs is None else n_obs
+            uv = np.asarray(cameras.pinhole_project(
+                K4j, lie.se3_apply(R, t, jnp.asarray(X))))
+            m, kk = mapstate.add_keyframe(m, R, t, float(k), k)
+            m, pt = mapstate.add_points(
+                m, jnp.asarray(X), jnp.asarray(desc),
+                jnp.tile(jnp.array([0.0, 0, 1]), (X.shape[0], 1)),
+                jnp.full(X.shape[0], 1.0), jnp.full(X.shape[0], 40.0),
+                int(kk), k, jnp.ones(X.shape[0], bool))
+            m = mapstate.add_observations(
+                m, kk, pt, jnp.asarray(uv),
+                jnp.zeros(X.shape[0], jnp.int32),
+                jnp.ones(X.shape[0], bool))
+            ff = make_ff(uv, desc)
+            sys_.kf_features[int(kk)] = ff
+            sys_.kf_bindings[int(kk)] = pad_binding(pt)
+            lc.add_keyframe(m, int(kk), ff)
+            return int(kk), pt, ff, uv
+
+        # place A (KF0, origin), exploration KFs 1..7, place B (KF8),
+        # exploration 9..13
+        XA, dA = place(0.0)
+        kA, ptA, _, _ = add_kf(0, XA, dA, jnp.eye(3), jnp.zeros(3))
+        for k in range(1, 8):
+            Xk, dk = place(10.0 * k)
+            add_kf(k, Xk[:60], dk[:60], jnp.eye(3),
+                   jnp.asarray([-10.0 * k, 0, 0]))
+        XB, dB = place(80.0)
+        tB = jnp.asarray([-80.0, 0, 0])
+        kB, ptB, _, _ = add_kf(8, XB, dB, jnp.eye(3), tB)
+        for k in range(9, 14):
+            Xk, dk = place(10.0 * k + 60.0)
+            add_kf(k, Xk[:60], dk[:60], jnp.eye(3),
+                   jnp.asarray([-10.0 * k - 60.0, 0, 0]))
+
+        def drifted_revisit(k, X_true, desc, R_kf, t_kf, ds, dtv):
+            """Duplicate landmarks in a drifted world; camera sees the
+            SAME pixels as the true revisit (projective scale-invariance)."""
+            nonlocal m
+            X_dup = (ds * X_true + dtv).astype(np.float32)
+            R = jnp.asarray(R_kf)
+            t = ds * jnp.asarray(t_kf) - R @ jnp.asarray(dtv)
+            return add_kf(k, X_dup[:150], desc[:150], R, t) + (R, t)
+
+        # ---- first closure: drifted revisit of place A at KF14
+        kr1, ptr1, ff1, _, _, _ = drifted_revisit(
+            14, XA, dA, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            1.10, np.array([0.5, -0.25, 0.15], np.float32))
+        sys_.map = m
+        sys_.R_cur = sys_.map.kf_R[kr1]
+        sys_.t_cur = sys_.map.kf_t[kr1]
+        sys_.last_kf_idx = kr1
+        assert lc.try_close(sys_, ff1, kr1), "first loop not closed"
+        assert lc.n_loops_closed == 1
+        m = sys_.map
+        assert int(m.n_loop) == 1
+
+        # more exploration after the first closure
+        for k in range(15, 17):
+            Xk, dk = place(10.0 * k + 120.0)
+            add_kf(k, Xk[:60], dk[:60], jnp.eye(3),
+                   jnp.asarray([-10.0 * k - 120.0, 0, 0]))
+
+        # ---- second closure: drifted revisit of place B (post-correction
+        # coordinates!) at KF17
+        XB_cur = np.asarray(m.pt_xyz[ptB])
+        RB_cur = np.asarray(m.kf_R[kB])
+        tB_cur = np.asarray(m.kf_t[kB])
+        kr2, ptr2, ff2, _, _, _ = drifted_revisit(
+            17, XB_cur, dB, RB_cur, tB_cur,
+            1.08, np.array([-0.4, 0.2, -0.1], np.float32))
+        sys_.map = m
+        sys_.R_cur = sys_.map.kf_R[kr2]
+        sys_.t_cur = sys_.map.kf_t[kr2]
+        sys_.last_kf_idx = kr2
+        assert lc.try_close(sys_, ff2, kr2), "second loop not closed"
+        assert lc.n_loops_closed == 2
+        m2 = sys_.map
+        assert int(m2.n_loop) == 2
+
+        # seam 2 closed: revisit KF sits at the candidate's camera center
+        C2 = -np.asarray(m2.kf_R[kr2]).T @ np.asarray(m2.kf_t[kr2])
+        CB = -np.asarray(m2.kf_R[kB]).T @ np.asarray(m2.kf_t[kB])
+        assert np.linalg.norm(C2 - CB) < 0.3, np.linalg.norm(C2 - CB)
+        # seam 1 STILL closed after the second pose-graph solve: the
+        # persistent edge kept KF14 welded to KF0
+        C1 = -np.asarray(m2.kf_R[kr1]).T @ np.asarray(m2.kf_t[kr1])
+        CA = -np.asarray(m2.kf_R[kA]).T @ np.asarray(m2.kf_t[kA])
+        assert np.linalg.norm(C1 - CA) < 0.3, np.linalg.norm(C1 - CA)
+        # and the first edge is structurally in the essential graph
+        ei, ej, *_, ok = loop_closing.build_essential_graph(m2)
+        pairs = {(int(a), int(b)) for a, b, v in
+                 zip(np.asarray(ei), np.asarray(ej), np.asarray(ok)) if v}
+        assert (kr1, kA) in pairs and (kr2, kB) in pairs
+
+    def test_cull_erases_keyframe_from_database(self):
+        """Culled KFs must never come back as reloc/loop candidates
+        (reference KeyFrame::SetBadFlag -> KeyFrameDatabase::erase,
+        src/KeyFrameDatabase.cc:66)."""
+        rng = np.random.default_rng(9)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=(480, 752),
+            map_capacity=mapstate.MapCapacity(n_kf=16, n_pt=1024,
+                                              n_obs=4096))
+        sys_ = slam_system.System(cfg)
+        assert sys_.loop_closer is not None
+        m = sys_.map
+        X = np.stack([rng.uniform(-3, 3, 120), rng.uniform(-2, 2, 120),
+                      rng.uniform(4, 9, 120)], 1).astype(np.float32)
+        desc = rng.integers(0, 2 ** 32, (120, 8), dtype=np.uint32)
+        for k in range(4):
+            t = jnp.asarray([0.1 * k, 0, 0])
+            uv = np.asarray(cameras.pinhole_project(
+                K4j, lie.se3_apply(jnp.eye(3), t, jnp.asarray(X))))
+            m, kk = mapstate.add_keyframe(m, jnp.eye(3), t, float(k), k)
+            if k == 0:
+                m, pt = mapstate.add_points(
+                    m, jnp.asarray(X), jnp.asarray(desc),
+                    jnp.tile(jnp.array([0.0, 0, 1]), (120, 1)),
+                    jnp.full(120, 1.0), jnp.full(120, 40.0), 0, 0,
+                    jnp.ones(120, bool))
+            m = mapstate.add_observations(m, kk, pt, jnp.asarray(uv),
+                                          jnp.zeros(120, jnp.int32),
+                                          jnp.ones(120, bool))
+            ff = make_ff(uv, desc)
+            sys_.kf_features[int(kk)] = ff
+            sys_.kf_bindings[int(kk)] = pad_binding(pt)
+            sys_.loop_closer.add_keyframe(m, int(kk), ff)
+        sys_.map = m
+        # KF2 is a perfect match for its own descriptors before culling
+        from orbslam3_tpu.place import keyframe_db as kdb
+        bow, _ = sys_.loop_closer._bow(sys_.kf_features[2].desc,
+                                       sys_.kf_features[2].valid)
+        scores, _ = kdb.query(sys_.loop_closer.db, bow)
+        assert float(scores[2]) > 0
+        sys_._cull_keyframe(2)
+        # erased from the DB, features/bindings dropped
+        assert not bool(sys_.loop_closer.db.active[2])
+        scores2, _ = kdb.query(sys_.loop_closer.db, bow)
+        assert float(scores2[2]) <= 0
+        assert 2 not in sys_.kf_features and 2 not in sys_.kf_bindings
+        # relocalization against the same place still works via live KFs
+        from orbslam3_tpu.pipeline import relocalization
+        okk, R, t = relocalization.attempt_relocalization(
+            sys_, sys_.kf_features[1], sys_.loop_closer, min_inliers=30)
+        assert okk

@@ -96,6 +96,58 @@ class TestKeyframeDB:
         assert int(cand[0]) == 4
 
 
+class TestPersistentLoopEdges:
+    def test_essential_graph_includes_persisted_edges(self):
+        """A loop edge persisted via add_loop_edge must appear (valid) in
+        every later build_essential_graph (reference KeyFrame::mspLoopEdges,
+        include/KeyFrame.h:86-101)."""
+        from orbslam3_tpu.slam_map import state as mapstate
+        from orbslam3_tpu.pipeline import loop_closing
+        cap = mapstate.MapCapacity(n_kf=16, n_pt=256, n_obs=1024)
+        m = mapstate.empty_map(cap)
+        for k in range(8):
+            m, _ = mapstate.add_keyframe(
+                m, jnp.eye(3), jnp.asarray([float(k), 0, 0]), float(k), k)
+        m = mapstate.add_loop_edge(m, 6, 1, jnp.eye(3),
+                                   jnp.zeros(3), jnp.asarray(1.0))
+        assert int(m.n_loop) == 1
+        ei, ej, eR, et, es, ok = loop_closing.build_essential_graph(m)
+        pairs = {(int(a), int(b)) for a, b, v in
+                 zip(np.asarray(ei), np.asarray(ej), np.asarray(ok)) if v}
+        assert (6, 1) in pairs
+        # culling an endpoint invalidates the edge
+        m2 = m._replace(kf_valid=m.kf_valid.at[1].set(False))
+        *_, ok2 = loop_closing.build_essential_graph(m2)
+        ei2, ej2 = np.asarray(ei), np.asarray(ej)
+        pairs2 = {(int(a), int(b)) for a, b, v in
+                  zip(ei2, ej2, np.asarray(ok2)) if v}
+        assert (6, 1) not in pairs2
+
+    def test_db_erase_removes_candidate(self):
+        """KeyFrameDatabase::erase parity (src/KeyFrameDatabase.cc:66): an
+        erased KF can never be returned by query/detect_candidates."""
+        rng = np.random.default_rng(7)
+        V = 512
+        cb = jnp.asarray(vocab.seed_codebook(V))
+        db = kdb.KeyframeDB.create(8, V)
+        descs = [rand_desc(rng, 120) for _ in range(6)]
+        for k, d in enumerate(descs):
+            w = vocab.assign_words(d, cb)
+            db = kdb.add(db, k, vocab.bow_vector(w, jnp.ones(120, bool), V))
+        q = corrupt(descs[3], rng, 3)
+        wq = vocab.assign_words(q, cb)
+        bow = vocab.bow_vector(wq, jnp.ones(120, bool), V)
+        scores, _ = kdb.query(db, bow)
+        assert int(jnp.argmax(scores)) == 3
+        db = kdb.erase(db, 3)
+        scores2, _ = kdb.query(db, bow)
+        assert int(jnp.argmax(scores2)) != 3
+        assert float(scores2[3]) <= 0
+        cand, _ = kdb.detect_candidates(db, bow, jnp.zeros(8, bool),
+                                        jnp.zeros((8, 8), bool))
+        assert 3 not in set(np.asarray(cand).tolist())
+
+
 class TestSim3Solver:
     def test_recovers_known_sim3(self):
         key = jax.random.PRNGKey(0)

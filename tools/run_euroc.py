@@ -23,7 +23,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("sequence")
     ap.add_argument("--mode", default="mono",
-                    choices=["mono", "mono-inertial", "stereo"])
+                    choices=["mono", "mono-inertial", "stereo",
+                             "stereo-inertial"])
+    ap.add_argument("--dataset", default="euroc",
+                    choices=["euroc", "tumvi"],
+                    help="calibration preset family (tumvi = 512x512 "
+                         "KB8 fisheye rig)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--viz", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
@@ -43,17 +48,32 @@ def main():
     from orbslam3_tpu.pipeline import system as slam
 
     seq = euroc.EurocSequence(args.sequence)
-    cam = euroc.EUROC_CAM0
+    tumvi = args.dataset == "tumvi"
+    cam = euroc.TUMVI_CAM0 if tumvi else euroc.EUROC_CAM0
     orb = OrbParams(n_features=args.features)
 
-    maps = [euroc.undistort_map(cam["params"], cam["distortion"],
-                                cam["resolution"])]
+    # TUM-VI mono modes consume raw KB8 fisheye pixels (cam_model="kb8",
+    # no remap); EuRoC mono modes undistort radtan to the pinhole model
+    maps = [None] if tumvi else \
+        [euroc.undistort_map(cam["params"], cam["distortion"],
+                             cam["resolution"])]
     if args.mode == "mono":
-        cfg = presets.euroc_mono(orb=orb)
+        cfg = (presets.tumvi_mono if tumvi else presets.euroc_mono)(orb=orb)
         sys_ = slam.System(cfg)
     elif args.mode == "mono-inertial":
-        cfg, icfg = presets.euroc_mono_inertial(orb=orb)
+        cfg, icfg = (presets.tumvi_mono_inertial if tumvi
+                     else presets.euroc_mono_inertial)(orb=orb)
         sys_ = inertial_system.InertialSystem(cfg, icfg)
+    elif args.mode == "stereo-inertial":
+        # the flagship TUM-VI fisheye configuration: KB8 pair rectified
+        # to a shared virtual pinhole, fixed-scale inertial init
+        if not tumvi:
+            ap.error("--mode stereo-inertial requires --dataset tumvi")
+        from orbslam3_tpu.pipeline import stereo_inertial_system
+        cfg, icfg, scfg, map0, map1 = presets.tumvi_stereo_inertial(orb=orb)
+        sys_ = stereo_inertial_system.StereoInertialSystem(cfg, icfg, scfg)
+        maps = [map0, map1]
+        seq_r = euroc.EurocSequence(args.sequence, cam="cam1")
     else:
         # RAW cam0+cam1 through calibration-derived rectification maps
         cfg, scfg, map0, map1 = presets.euroc_stereo_rectified(orb=orb)
@@ -70,7 +90,8 @@ def main():
             return iter(native_ingest.NativeIngest(
                 [r.path for r in s.images[:n]], cam["resolution"], umap,
                 src_hw=cam["resolution"], clahe_clip=args.clahe))
-        return (euroc.apply_undistort(s.load_image(s.images[i]), umap)
+        return (s.load_image(s.images[i]) if umap is None else
+                euroc.apply_undistort(s.load_image(s.images[i]), umap)
                 for i in range(n))
 
     t0 = time.time()
@@ -81,6 +102,23 @@ def main():
             rec = seq.images[i]
             state, pose = sys_.track_stereo(
                 jnp.asarray(next(left)), jnp.asarray(next(right)), rec.ts)
+            if i % 100 == 0:
+                print(f"frame {i}/{n} state={state} kf={sys_.n_kf_host} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+    elif args.mode == "stereo-inertial":
+        # left camera + IMU through the sync pump; right camera decoded
+        # in lockstep (pair indices align in the ASL layout)
+        seq_r.images = seq_r.images[:n]
+        right = make_stream(seq_r, maps[1])
+        seq.images = seq.images[:n]
+        for fr in pump.pump_euroc(seq, remap=maps[0],
+                                  timeshift_cam_imu=args.timeshift,
+                                  clahe_clip=args.clahe):
+            for (t_imu, gyro, acc) in fr.imu:
+                sys_.grab_imu(t_imu, gyro, acc)
+            state, pose = sys_.track_stereo(
+                jnp.asarray(fr.image), jnp.asarray(next(right)), fr.ts)
+            i = fr.index
             if i % 100 == 0:
                 print(f"frame {i}/{n} state={state} kf={sys_.n_kf_host} "
                       f"({time.time() - t0:.0f}s)", flush=True)
