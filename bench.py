@@ -71,7 +71,7 @@ def bench_full_system(jax, jnp):
     cam = jnp.asarray(K4, jnp.float32)
 
     @jax.jit
-    def slam_frame(m, img, R_prev, t_prev, R_cur, t_cur):
+    def slam_frame(m, view, img, R_prev, t_prev, R_cur, t_cur):
         ff = extract_jit(img, p)
         # constant-velocity guess (device-side, no host round trip)
         Rpi, tpi = lie.se3_inverse(R_prev, t_prev)
@@ -79,22 +79,24 @@ def bench_full_system(jax, jnp):
         Rg, tg = lie.se3_compose(Rv, tv, R_cur, t_cur)
         tr = tracking.track_local_map(
             m, ff, Rg, tg, "pinhole", cam, HW, p.scale_factor, p.n_levels,
-            radius_th=jnp.asarray(4.0))
+            radius_th=jnp.asarray(4.0), view=view)
         m2 = tracking.update_point_stats(m, tr)
         return m2, ff, tr.R, tr.t, tr.kp_pt, tr.n_inliers
 
     m, bank = sys_.map, sys_.bank
+    view = sys_.view
     R_prev, t_prev = sys_.R_prev, sys_.t_prev
     R_cur, t_cur = sys_.R_cur, sys_.t_cur
     kp_ur = jnp.full(1200, -1.0, jnp.float32)
     ki_host = sys_.n_kf_host
 
     def run(lo, hi, t0_kf):
-        nonlocal m, bank, R_prev, t_prev, R_cur, t_cur, ki_host
+        nonlocal m, bank, view, R_prev, t_prev, R_cur, t_cur, ki_host
         n_kf = 0
         for i in range(lo, hi):
             m, ff, R, t, kp_pt, n_inl = slam_frame(
-                m, jnp.asarray(frames[i]), R_prev, t_prev, R_cur, t_cur)
+                m, view, jnp.asarray(frames[i]), R_prev, t_prev,
+                R_cur, t_cur)
             R_prev, t_prev, R_cur, t_cur = R_cur, t_cur, R, t
             if (i - lo) % kf_every == kf_every - 1 and \
                     ki_host < cfg.map_capacity.n_kf - 1:
@@ -104,6 +106,7 @@ def bench_full_system(jax, jnp):
                     jnp.asarray(i, jnp.int32), kp_ur)
                 m = sys_._cull(m, jnp.asarray(i, jnp.int32))
                 m = sys_._local_ba(m, jnp.asarray(ki_host, jnp.int32))
+                view = sys_._gather_view(m, jnp.asarray(ki_host, jnp.int32))
                 ki_host += 1
                 n_kf += 1
         return n_kf

@@ -253,6 +253,10 @@ class LoopCloser:
         # the first seam
         system.map = mapstate.add_loop_edge(
             system.map, kf_idx, cand, res.R12, res.t12, res.s12)
+        # full-map GBA after the closure, as a pending device chain the
+        # tracker absorbs when ready (reference
+        # LoopClosing::RunGlobalBundleAdjustment detached thread)
+        system._schedule_gba(kf_idx)
         self.n_loops_closed += 1
         self.consistent_groups = []
         return True

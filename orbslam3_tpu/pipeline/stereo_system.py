@@ -112,6 +112,7 @@ class StereoSystem(base.System):
         self.kf_bindings[int(k0)] = jnp.where(ok, pt_idx, -1)
         self._bank_store(int(k0), ff, self.kf_bindings[int(k0)])
         self.inliers_at_last_kf = n_ok
+        self._refresh_view()
 
     def _frame_kp_ur(self, ff: FeatureFrame) -> jnp.ndarray:
         d = self._depth
@@ -122,6 +123,8 @@ class StereoSystem(base.System):
                          n_inl: int | None = None):
         super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)
         self._stereo_new_points(ff)
+        # the fresh depth-based points must be trackable immediately
+        self._refresh_view()
 
     def _stereo_new_points(self, ff: FeatureFrame):
         """Depth-based points for still-unbound keypoints (stereo bonus;

@@ -55,6 +55,13 @@ class SlamConfig:
     # tracking thresholds (reference src/Tracking.cc:932,985-1005)
     min_init_matches: int = 100
     min_track_inliers: int = 30
+    # bounded local-map view for per-frame tracking (reference
+    # UpdateLocalKeyFrames/UpdateLocalPoints, src/Tracking.cc:2964-3090):
+    # points of the last KF's best `local_view_kfs` covisible KFs gathered
+    # into `local_view_points` slots once per keyframe.  0 = track against
+    # the full capacity (small maps / tests)
+    local_view_points: int = 8192
+    local_view_kfs: int = 12
     max_frames_between_kf: int = 15
     kf_inlier_ratio: float = 0.75     # insert KF when inliers decay to this
     new_pt_budget: int = 768
@@ -73,7 +80,20 @@ class SlamConfig:
     # (points+observations partitioned, reduced system psum'd over the
     # mesh — parallel/dist_ba); 0/1 = single-device solve
     ba_mesh_shards: int = 0
+    # overlap mapping with tracking (reference System.cc:113 spawns
+    # LocalMapping on its own thread): KF culling + local BA run as an
+    # independent device chain against the post-insert snapshot while
+    # tracking continues; the optimized map is swapped in when ready.
+    # The immutable-MapState design makes the overlap race-free.
+    async_mapping: bool = False
     enable_loop_closing: bool = False
+    # full-map GBA after a loop closure (reference
+    # LoopClosing::RunGlobalBundleAdjustment, src/LoopClosing.cc — runs on
+    # a detached thread and is merged back when done): dispatched as a
+    # pending device chain through the same swap-in path as async mapping,
+    # so tracking never blocks on it.  PCG Schur at full map capacity.
+    post_loop_gba: bool = True
+    gba_iters: int = 8
     enable_relocalization: bool = True  # KF database + reloc on loss
     reloc_patience: int = 10   # frames in RECENTLY_LOST before map reset
     stereo_bf: float = 0.0     # fx * baseline; > 0 enables stereo residuals
@@ -117,6 +137,14 @@ class System:
         # jitted insertion/triangulation path; sized lazily from the first
         # frame's keypoint capacity (tests feed arbitrary-capacity frames)
         self.bank = None
+        # bounded local-map view (None = track against full capacity);
+        # refreshed once per keyframe / reloc / map surgery
+        self.view = None
+        # async mapping: (optimized-map future, kf index) or None;
+        # subclasses that couple tracking to the KF chain (inertial)
+        # clear _async_ok to force the sync path
+        self._pending = None
+        self._async_ok = True
         self.inliers_at_last_kf = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_resets = 0
@@ -177,13 +205,33 @@ class System:
                                        sigma=1.0 / f_approx)
 
         @functools.partial(jax.jit, donate_argnums=())
-        def _track(m, ff, R_guess, t_guess, radius_th):
+        def _track(m, ff, R_guess, t_guess, radius_th, view=None):
             tr = tracking.track_local_map(
                 m, ff, R_guess, t_guess, cam_model, self.cam_params,
                 cfg.image_hw, cfg.orb.scale_factor, cfg.orb.n_levels,
-                radius_th=radius_th)
+                radius_th=radius_th, view=view)
             m2 = tracking.update_point_stats(m, tr)
             return tr, m2
+
+        @jax.jit
+        def _gather_view(m, center_kf):
+            return mapstate.gather_local_view(
+                m, center_kf, cfg.local_view_points,
+                window=cfg.local_view_kfs)
+
+        @jax.jit
+        def _merge_opt(m_live, m_opt):
+            """Swap the async-optimized snapshot's geometry into the live
+            map: KF poses, point positions and cull verdicts from the
+            snapshot; tracking counters and any slots appended after the
+            snapshot (stereo depth points) from the live map."""
+            P = m_live.pt_xyz.shape[0]
+            newer = jnp.arange(P) >= m_opt.n_pt
+            pt_xyz = jnp.where(newer[:, None], m_live.pt_xyz, m_opt.pt_xyz)
+            pt_valid = jnp.where(newer, m_live.pt_valid,
+                                 m_live.pt_valid & m_opt.pt_valid)
+            return m_live._replace(kf_R=m_opt.kf_R, kf_t=m_opt.kf_t,
+                                   pt_xyz=pt_xyz, pt_valid=pt_valid)
 
         @jax.jit
         def _insert_kf(m, bank, ff, kp_pt, R, t, ts, frame_id, kp_ur):
@@ -265,6 +313,14 @@ class System:
         @jax.jit
         def _local_ba(m, center_kf):
             cams, pts, obs = cfg.ba_caps
+            if ba_mesh is not None:
+                # the sharded Schur path partitions points/observations
+                # per device (parallel.dist_ba.partition_problem requires
+                # exact divisibility); round arbitrary user caps UP so a
+                # config like (16, 4100, 12300) cannot assert at runtime
+                s = cfg.ba_mesh_shards
+                pts = -(-pts // s) * s
+                obs = -(-obs // s) * s
             return mapping.run_local_ba(
                 m, center_kf, cam_model, self.cam_params,
                 window=cfg.local_ba_window, iterations=cfg.local_ba_iters,
@@ -295,6 +351,47 @@ class System:
         @jax.jit
         def _cull(m, frame_id):
             return mapstate.cull_points(m, frame_id)
+
+        @jax.jit
+        def _kf_step(m, bank, ff, kp_pt, R, t, ts, frame_id, kp_ur,
+                     center):
+            """The whole synchronous keyframe frame as ONE program:
+            insert + triangulate, point culling, window BA, tracking-view
+            rebuild.  One dispatch instead of four — each dispatch through
+            a remote-attached device costs fixed RPC latency, and the
+            keyframe frame sits on the tracking critical path."""
+            m, bank, ki, kp_pt_new, n_new = _insert_kf(
+                m, bank, ff, kp_pt, R, t, ts, frame_id, kp_ur)
+            m = mapstate.cull_points(m, frame_id)
+            m = _local_ba(m, center)
+            view = mapstate.gather_local_view(
+                m, center, cfg.local_view_points,
+                window=cfg.local_view_kfs) \
+                if cfg.local_view_points > 0 else None
+            return m, bank, ki, kp_pt_new, n_new, view
+
+        @jax.jit
+        def _cull_ba(m, frame_id, center):
+            """Async-mapping tail: culling + window BA as one program."""
+            m = mapstate.cull_points(m, frame_id)
+            return _local_ba(m, center)
+
+        @jax.jit
+        def _gba(m, center_kf):
+            """Full-map global BA (reference GlobalBundleAdjustemnt,
+            src/Optimizer.cc:60-76: all KFs + all points, init KF fixed) —
+            capacity-sized temporal window through the matrix-free PCG
+            Schur path (the dense grid would need a (P, K) slab at
+            24k x 256)."""
+            cap = cfg.map_capacity
+            return mapping.run_local_ba(
+                m, center_kf, cam_model, self.cam_params,
+                window=cap.n_kf, iterations=cfg.gba_iters,
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels, stereo_bf=cfg.stereo_bf,
+                pcg_iters=cfg.ba_pcg_iters, schur_solver="pcg",
+                window_mode="temporal", cap_cams=cap.n_kf,
+                cap_pts=cap.n_pt, cap_obs=cap.n_obs)
 
         @jax.jit
         def _renorm_init(m, kf2):
@@ -339,7 +436,12 @@ class System:
         self._init_match = _init_match
         self._reconstruct = _reconstruct
         self._track = _track
+        self._gather_view = _gather_view
+        self._merge_opt = _merge_opt
         self._insert_kf_jit = _insert_kf
+        self._kf_step = _kf_step
+        self._cull_ba = _cull_ba
+        self._gba = _gba
         self._local_ba = _local_ba
         self._gnss_ba = _gnss_ba
         self._cull = _cull
@@ -364,6 +466,20 @@ class System:
         from ..slam_map import feature_bank as fbank
         self._ensure_bank(ff)
         self.bank = fbank.set_frame(self.bank, kf_idx, ff, kp_pt)
+
+    def _refresh_view(self, center: int | None = None) -> None:
+        """Rebuild the bounded local-map tracking view around `center`
+        (default: the last keyframe).  Called after every event that moves
+        or re-indexes points: KF insertion (post-BA/fuse/compact/loop),
+        initialization, relocalization, map merge."""
+        if self.cfg.local_view_points <= 0:
+            self.view = None
+            return
+        c = self.last_kf_idx if center is None else center
+        if c < 0:
+            self.view = None
+            return
+        self.view = self._gather_view(self.map, jnp.asarray(c, jnp.int32))
 
     def _frame_kp_ur(self, ff: FeatureFrame) -> jnp.ndarray:
         """Per-keypoint stereo right-u for the current frame (-1 = mono);
@@ -422,6 +538,7 @@ class System:
         self.map = self._gnss_ba(self.map, jnp.asarray(ki, jnp.int32),
                                  jnp.asarray(prior_pos),
                                  jnp.asarray(prior_w))
+        self._n_gnss_ba = getattr(self, "_n_gnss_ba", 0) + 1
         self.R_cur = self.map.kf_R[ki]
         self.t_cur = self.map.kf_t[ki]
         self.R_prev, self.t_prev = self.R_cur, self.t_cur
@@ -557,6 +674,7 @@ class System:
             self.loop_closer.add_keyframe(m, int(k1), self.ref_ff)
             self.loop_closer.add_keyframe(m, int(k2), ff)
         self.inliers_at_last_kf = int(jnp.sum((kp_pt2 >= 0)))
+        self._refresh_view()
         # first trajectory entry for the ref frame
         self.trajectory.append(
             (self.ref_ts, np.eye(3), np.zeros(3)))
@@ -564,6 +682,8 @@ class System:
     # ------------------------------------------------------------- tracking
     def _track_frame(self, ff: FeatureFrame, ts: float):
         cfg = self.cfg
+        # non-blocking poll: absorb the async KF optimization if done
+        self._merge_pending(force=False)
         # constant-velocity model: T_guess = V * T_prev, V = T_cur T_prev^-1
         if self.has_velocity:
             Rpi, tpi = lie.se3_inverse(self.R_prev, self.t_prev)
@@ -578,7 +698,8 @@ class System:
         # projection window is the masked-matmul equivalent)
         radius = 4.0 if self.has_velocity else 30.0
         tr, self.map = self._track(self.map, ff, Rg, tg,
-                                   jnp.asarray(radius, jnp.float32))
+                                   jnp.asarray(radius, jnp.float32),
+                                   self.view)
         n_inl = int(tr.n_inliers)
         if n_inl < cfg.min_track_inliers:
             if self._handle_tracking_loss(ff):
@@ -601,19 +722,52 @@ class System:
 
     def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float,
                          n_inl: int | None = None):
+        # at most one keyframe's mapping work in flight: absorb the
+        # previous KF's optimization before inserting the next
+        self._merge_pending(force=True)
         kp_ur = self._frame_kp_ur(ff)
         self._ensure_bank(ff)
-        m, bank, ki, kp_pt_new, n_new = self._insert_kf_jit(
-            self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
-            jnp.asarray(ts, jnp.float32),
-            jnp.asarray(self.frame_id, jnp.int32), kp_ur)
-        self.bank = bank
         # add_keyframe appends at index n_kf: host-predictable, no sync
         ki = self.n_kf_host
+        use_async = self.cfg.async_mapping and self._async_ok
+        if use_async:
+            # the reference's Tracking ∥ LocalMapping overlap
+            # (src/System.cc:113 spawns LocalMapping on its own thread):
+            # tracking continues against the post-insert snapshot (the new
+            # KF + its triangulated points ARE visible immediately, like
+            # the reference's ProcessNewKeyFrame) while point culling +
+            # local BA run as an independent device chain; the optimized
+            # snapshot is swapped in when ready (per-frame poll) or at the
+            # next keyframe, whichever first.  The per-frame pose-only
+            # optimizer re-anchors the camera to the optimized map at the
+            # first frame after the swap — no explicit pose correction.
+            m, bank, _, kp_pt_new, n_new = self._insert_kf_jit(
+                self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
+                jnp.asarray(ts, jnp.float32),
+                jnp.asarray(self.frame_id, jnp.int32), kp_ur)
+            view = None
+        else:
+            m, bank, _, kp_pt_new, n_new, view = self._kf_step(
+                self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
+                jnp.asarray(ts, jnp.float32),
+                jnp.asarray(self.frame_id, jnp.int32), kp_ur,
+                jnp.asarray(ki, jnp.int32))
+        self.bank = bank
         self.n_kf_host += 1
         self.last_kf_ts = ts
-        m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
-        m = self._local_ba(m, jnp.asarray(ki, jnp.int32))
+        self.kf_features[ki] = ff
+        self.kf_bindings[ki] = kp_pt_new
+        self.last_kf_idx = ki
+        self.last_kf_id = self.frame_id
+        self.inliers_at_last_kf = \
+            n_inl if n_inl is not None else int(tr.n_inliers)
+        if use_async:
+            self.map = m
+            m_opt = self._cull_ba(m, jnp.asarray(self.frame_id, jnp.int32),
+                                  jnp.asarray(ki, jnp.int32))
+            self._pending = (m_opt, ki, "kf")
+            self._refresh_view()
+            return
         self.map = m
         # refresh tracker pose from the optimized keyframe; propagate the
         # same correction to the previous-frame pose so the constant-
@@ -624,12 +778,56 @@ class System:
                                                    self.t_prev)
         self.R_cur = m.kf_R[ki]
         self.t_cur = m.kf_t[ki]
-        self.kf_features[ki] = ff
-        self.kf_bindings[ki] = kp_pt_new
-        self.last_kf_idx = ki
-        self.last_kf_id = self.frame_id
-        self.inliers_at_last_kf = \
-            n_inl if n_inl is not None else int(tr.n_inliers)
+        self._post_ba_stages(ki, ff, ts, view=view)
+
+    def _merge_pending(self, force: bool = False) -> None:
+        """Swap in the asynchronously-optimized map snapshot (reference
+        analogue: LocalMapping finishing its KF and Tracking picking up
+        the updated poses/points through the shared map).
+
+        Geometry (KF poses, point positions, cull verdicts) comes from the
+        optimized snapshot; tracking counters (pt_found/pt_visible) and
+        anything appended after the snapshot (stereo depth points) stay
+        live.  `force=False` polls without blocking."""
+        if self._pending is None:
+            return
+        m_opt, ki, kind = self._pending
+        if not force:
+            ready = getattr(m_opt.kf_R, "is_ready", None)
+            if ready is not None and not ready():
+                return
+        self._pending = None
+        self.map = self._merge_opt(self.map, m_opt)
+        if kind == "gba":
+            # post-loop GBA (reference RunGlobalBundleAdjustment merge):
+            # geometry swap only — the LocalMapping stages already ran for
+            # this keyframe before the GBA was scheduled
+            self._refresh_view()
+            return
+        ff = self.kf_features.get(ki)
+        if ff is not None:
+            self._post_ba_stages(ki, ff, float(self.map.kf_ts[ki]))
+
+    def _schedule_gba(self, ki: int) -> None:
+        """Dispatch the full-map GBA as a pending device chain (reference
+        LoopClosing::RunGlobalBundleAdjustment's detached thread)."""
+        if not self.cfg.post_loop_gba:
+            return
+        self._pending = (self._gba(self.map, jnp.asarray(ki, jnp.int32)),
+                         ki, "gba")
+
+    def _post_ba_stages(self, ki: int, ff: FeatureFrame, ts: float,
+                        view=None):
+        """LocalMapping stages downstream of the window BA: fusion,
+        keyframe culling, slot compaction, GNSS stage, loop closing.
+        Sync mode runs them in the keyframe frame; async mode at swap-in
+        (the reference runs all of them on the LocalMapping/LoopClosing
+        threads).
+
+        `view`: tracking view already rebuilt by the fused KF program —
+        adopted as-is unless one of the stages below changes the map
+        again (most keyframes run none of them)."""
+        dirty = False
         # SearchInNeighbors: fuse map points into this keyframe
         # (reference src/LocalMapping.cc:764; cadence-limited here)
         if self.cfg.fuse_every_n_kf and ki % self.cfg.fuse_every_n_kf == 0:
@@ -640,6 +838,7 @@ class System:
             self.kf_bindings[ki] = kp_pt2
             from ..slam_map import feature_bank as fbank
             self.bank = fbank.set_binding(self.bank, ki, kp_pt2)
+            dirty = True
         # KeyFrameCulling (reference src/LocalMapping.cc:902; the fork
         # disabled it because of pointer crashes — SoA has none)
         if self.cfg.kf_culling and ki > 6 and ki % 4 == 0:
@@ -647,6 +846,7 @@ class System:
             reds = np.nonzero(np.asarray(flags))[0]
             if len(reds):
                 self._cull_keyframe(int(reds[0]))
+                dirty = True
         # slot reclamation: compact points/observations when near capacity
         # so culling/fusion-freed slots are reused (long-run safety — the
         # add_* capacity guards otherwise start dropping new points)
@@ -661,19 +861,29 @@ class System:
                 if self.bank is not None:
                     self.bank = self.bank._replace(
                         kp_pt=self._remap_bindings(self.bank.kp_pt, remap))
+                dirty = True
         if self.georef is not None:
+            n_ba = getattr(self, "_n_gnss_ba", 0)
             self._gnss_keyframe_stage(ki, ts)
+            dirty |= getattr(self, "_n_gnss_ba", 0) != n_ba
         if self.loop_closer is not None:
             if self.cfg.enable_loop_closing:
                 merged = False
                 if self.atlas.sessions:
                     from . import map_merging
                     merged = map_merging.try_merge(self, ff, ki)
-                if not merged:
+                closed = False if merged else \
                     self.loop_closer.try_close(self, ff, ki)
+                dirty |= bool(merged) | bool(closed)
             else:
                 # reloc-only mode: keep the database fed, skip detection
                 self.loop_closer.add_keyframe(self.map, ki, ff)
+        # rebuild the tracking view LAST if any stage above moved or
+        # re-indexed points; otherwise adopt the fused KF program's view
+        if dirty or view is None:
+            self._refresh_view()
+        else:
+            self.view = view
 
     def _cull_keyframe(self, kf_idx: int):
         """Remove one redundant keyframe (reference KeyFrameCulling).
@@ -682,6 +892,14 @@ class System:
         from . import fusion
         self.map = fusion.cull_keyframe(self.map,
                                         jnp.asarray(kf_idx, jnp.int32))
+        # reference KeyFrame::SetBadFlag calls KeyFrameDatabase::erase
+        # (src/KeyFrameDatabase.cc:66): a culled KF must never be returned
+        # as a reloc/loop candidate with its frozen pre-cull pose
+        if self.loop_closer is not None:
+            from ..place import keyframe_db as _kdb
+            self.loop_closer.db = _kdb.erase(self.loop_closer.db, kf_idx)
+        self.kf_features.pop(kf_idx, None)
+        self.kf_bindings.pop(kf_idx, None)
 
     # ----------------------------------------------------- loss / reloc
     def _handle_tracking_loss(self, ff) -> bool:
@@ -689,6 +907,13 @@ class System:
         keyframe database (upstream Tracking::Relocalization — the fork
         resets instead; we support both, reset after reloc_patience).
         Returns True if the frame was recovered or patience remains."""
+        # absorb any in-flight KF optimization first: relocalization
+        # should solve against the best map available
+        self._merge_pending(force=True)
+        # lost: widen to the full-capacity view (the local view was built
+        # around a keyframe we may no longer be near); the next KF insert
+        # re-localizes the view
+        self.view = None
         if self.loop_closer is not None:
             from . import relocalization
             ok, R, t = relocalization.attempt_relocalization(
@@ -713,14 +938,14 @@ class System:
         (reference src/Tracking.cc:543-544, CreateMapInAtlas :771-805 —
         the old map is kept, a new one becomes current)."""
         self.n_resets += 1
+        self._merge_pending(force=True)   # archive the optimized map
         db = None
         if self.loop_closer is not None:
             from ..place import keyframe_db as _kdb
             db = self.loop_closer.db
             self.loop_closer.db = _kdb.KeyframeDB.create(
                 self.cfg.map_capacity.n_kf, self.loop_closer.cfg.n_words)
-            self.loop_closer.consistent_count = 0
-            self.loop_closer.last_candidate = -1
+            self.loop_closer.consistent_groups = []
         self.atlas.store_session(self.map, self.kf_features,
                                  self.kf_bindings, self.trajectory, db=db)
         self.trajectory = []
@@ -729,6 +954,7 @@ class System:
         self.last_kf_ts = 0.0
         self.map = mapstate.empty_map(self.cfg.map_capacity)
         self.ref_ff = None
+        self.view = None
         self.has_velocity = False
         self.lost_frames = 0
         self.kf_features.clear()
