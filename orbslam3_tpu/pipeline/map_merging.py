@@ -109,6 +109,8 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
             for k, f in new_features.items():
                 b = new_bindings.get(k)
                 if b is not None and f.capacity == system.bank.xy.shape[1]:
+                    # ur unavailable host-side: restored rows fall
+                    # back to mono residuals in bank-sourced BA
                     system.bank = fbank.set_frame(system.bank, k, f, b)
         system.last_kf_idx = kf_idx + kf_off
         # immediate welding BA over the seam (reference

@@ -393,6 +393,94 @@ def gather_window_grid(m: mapstate.MapState, center_kf: jnp.ndarray,
     return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
 
 
+def gather_window_grid_bank(m: mapstate.MapState, bank, center_kf,
+                            window: int, n_levels: int, scale_factor: float,
+                            cap_cams: int = 16, cap_pts: int = 4096,
+                            window_mode: str = "covis",
+                            min_anchors: int = 2):
+    """Window selection into the dense grid, sourcing observations from
+    the per-KF FeatureBank slabs instead of the map-capacity COO list.
+
+    Same window/anchor/budget semantics as gather_window_grid, different
+    data path: the COO gather scans O(map obs capacity) rows (measured
+    ~13 ms of map-sized gather/scatter fusions at 196k obs on v5e — the
+    fixed cost of every local BA), while the bank path touches only the
+    selected cameras' (C, N) slabs (~19k rows at C=16, N=1200) plus
+    elementwise work on the (P, K) incidence mask.  The bank's bindings
+    mirror the live observation set (System keeps them current through
+    insert/fuse/compact), so the gathered problem is the same.
+    """
+    from ..solver import ba_grid
+    K = m.kf_R.shape[0]
+    P = m.pt_xyz.shape[0]
+    sf = jnp.asarray(scale_factor ** jnp.arange(n_levels, dtype=jnp.float32))
+
+    kf_ids = jnp.arange(K)
+    if window_mode == "temporal":
+        in_window = (kf_ids > center_kf - window) & \
+            (kf_ids <= center_kf) & m.kf_valid
+    else:
+        covis = mapstate.covisibility_weights(m, center_kf)
+        cscore = jnp.where(m.kf_valid & (kf_ids != center_kf), covis, 0)
+        top_vals, top_idx = jax.lax.top_k(cscore, max(window - 1, 1))
+        prev = jnp.max(jnp.where((kf_ids < center_kf) & m.kf_valid,
+                                 kf_ids, -1))
+        in_window = jnp.zeros(K, bool).at[top_idx].set(top_vals > 0)
+        in_window = in_window.at[center_kf].set(True)
+        in_window = in_window.at[jnp.maximum(prev, 0)].set(
+            in_window[jnp.maximum(prev, 0)] | (prev >= 0))
+        in_window &= m.kf_valid
+
+    # point budget: in-window observer count per point, one incidence
+    # matvec (no O(obs) scan)
+    live = mapstate.live_incidence(m).astype(jnp.float32)
+    nobs_win = jnp.einsum("pk,k->p", live, in_window.astype(jnp.float32),
+                          precision=_HI)
+    pt_sel, pt_sel_valid, pt_inv = _compact(nobs_win > 0, cap_pts,
+                                            score=nobs_win)
+
+    # cameras: window KFs free + out-of-window observers of selected
+    # points as fixed anchors — one incidence matvec
+    sel_mask = jnp.zeros(P, jnp.float32).at[
+        jnp.where(pt_sel_valid, pt_sel, P)].set(1.0, mode="drop")
+    cam_obs_sel = jnp.einsum("pk,p->k", live, sel_mask, precision=_HI)
+    cam_touched = ((cam_obs_sel > 0) | in_window) & m.kf_valid
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+
+    # observations: the selected cameras' bank slabs, (C, N) rows total
+    kpt = bank.kp_pt[cam_sel]                         # (C, N)
+    kpt_c = jnp.clip(kpt, 0, P - 1)
+    gp = pt_inv[kpt_c]                                # (C, N) local pt id
+    ok = bank.valid[cam_sel] & (kpt >= 0) & m.pt_valid[kpt_c] & \
+        (gp >= 0) & cam_sel_valid[:, None]
+    inv_sigma2 = 1.0 / sf[jnp.clip(bank.octave[cam_sel], 0,
+                                   n_levels - 1)] ** 2
+    payload = jnp.concatenate([
+        bank.xy[cam_sel], inv_sigma2[..., None],
+        bank.ur[cam_sel][..., None],
+        jnp.ones_like(inv_sigma2)[..., None]], axis=-1)   # (C, N, 5)
+    C = cam_sel.shape[0]
+    grid = jnp.zeros((cap_pts, cap_cams, 5), jnp.float32).at[
+        jnp.where(ok, gp, cap_pts),
+        jnp.broadcast_to(jnp.arange(C)[:, None], ok.shape)].set(
+        payload, mode="drop")
+
+    fixed = ~in_window[cam_sel] | (cam_sel < 1)
+    n_prob_cams = jnp.sum(cam_sel_valid.astype(jnp.int32))
+    n_anchors = jnp.sum((fixed & cam_sel_valid).astype(jnp.int32))
+    need_second = (n_anchors < min_anchors) & (n_prob_cams >= 3)
+    fixed = fixed | ((cam_sel == 1) & need_second)
+
+    prob = ba_grid.GridBAProblem(
+        R=m.kf_R[cam_sel], t=m.kf_t[cam_sel],
+        cam_fixed=fixed, cam_valid=cam_sel_valid,
+        X=m.pt_xyz[pt_sel], pt_valid=pt_sel_valid & m.pt_valid[pt_sel],
+        uv=grid[:, :, 0:2], inv_sigma2=grid[:, :, 2],
+        valid=grid[:, :, 4] > 0, ur=jnp.where(grid[:, :, 4] > 0,
+                                              grid[:, :, 3], -1.0))
+    return prob, cam_sel, cam_sel_valid, pt_sel, prob.pt_valid
+
+
 def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                  cam_model: str, cam_params,
                  window: int = 8, iterations: int = 10,
@@ -403,6 +491,7 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                  prior_pos=None, prior_w=None,
                  pcg_iters: int = 32,
                  schur_solver: str = "auto",
+                 bank=None,
                  **caps):
     """Local BA on a covisibility keyframe window + outlier observation
     culling (reference LocalBundleAdjustment, 10 its, then removes
@@ -422,9 +511,16 @@ def run_local_ba(m: mapstate.MapState, center_kf: jnp.ndarray,
                                   cap_cams <= 32) else "pcg"
     if schur_solver == "grid":
         from ..solver import ba_grid
-        gprob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_grid(
-            m, center_kf, window, n_levels, scale_factor,
-            cap_cams=cap_cams, cap_pts=caps.get("cap_pts", 8192))
+        if bank is not None:
+            # per-KF slab gather (no O(obs-capacity) scans; ~13 ms/BA
+            # cheaper at full map capacity on v5e)
+            gprob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_grid_bank(
+                m, bank, center_kf, window, n_levels, scale_factor,
+                cap_cams=cap_cams, cap_pts=caps.get("cap_pts", 8192))
+        else:
+            gprob, cam_sel, cam_ok, pt_sel, pt_ok = gather_window_grid(
+                m, center_kf, window, n_levels, scale_factor,
+                cap_cams=cap_cams, cap_pts=caps.get("cap_pts", 8192))
         R_g, t_g, X_g, _ = ba_grid.bundle_adjust_grid(
             gprob, cam_model, cam_params, iterations=iterations,
             stereo_bf=stereo_bf)

@@ -242,7 +242,7 @@ class System:
             FeatureBank)."""
             from ..slam_map import feature_bank as fbank
             m, ki = mapstate.add_keyframe(m, R, t, ts, frame_id)
-            bank = fbank.set_frame(bank, ki, ff, kp_pt)
+            bank = fbank.set_frame(bank, ki, ff, kp_pt, ur=kp_ur)
             nbr_idx, nbr_ok = mapping.select_triangulation_neighbors(
                 m, ki, cfg.tri_neighbors)
             nps = mapping.triangulate_vs_neighbors(
@@ -311,7 +311,7 @@ class System:
                     np.asarray(devs[:cfg.ba_mesh_shards]), ("shard",))
 
         @jax.jit
-        def _local_ba(m, center_kf):
+        def _local_ba(m, center_kf, bank=None):
             cams, pts, obs = cfg.ba_caps
             if ba_mesh is not None:
                 # the sharded Schur path partitions points/observations
@@ -329,6 +329,7 @@ class System:
                 stereo_bf=cfg.stereo_bf,
                 mesh=ba_mesh,
                 pcg_iters=cfg.ba_pcg_iters,
+                bank=bank,
                 cap_cams=cams, cap_pts=pts, cap_obs=obs)
 
         @jax.jit
@@ -363,7 +364,7 @@ class System:
             m, bank, ki, kp_pt_new, n_new = _insert_kf(
                 m, bank, ff, kp_pt, R, t, ts, frame_id, kp_ur)
             m = mapstate.cull_points(m, frame_id)
-            m = _local_ba(m, center)
+            m = _local_ba(m, center, bank)
             view = mapstate.gather_local_view(
                 m, center, cfg.local_view_points,
                 window=cfg.local_view_kfs) \
@@ -371,10 +372,10 @@ class System:
             return m, bank, ki, kp_pt_new, n_new, view
 
         @jax.jit
-        def _cull_ba(m, frame_id, center):
+        def _cull_ba(m, frame_id, center, bank):
             """Async-mapping tail: culling + window BA as one program."""
             m = mapstate.cull_points(m, frame_id)
-            return _local_ba(m, center)
+            return _local_ba(m, center, bank)
 
         @jax.jit
         def _gba(m, center_kf):
@@ -461,11 +462,11 @@ class System:
             self.bank = fbank.empty_bank(self.cfg.map_capacity.n_kf,
                                          ff.capacity)
 
-    def _bank_store(self, kf_idx: int, ff: FeatureFrame, kp_pt):
+    def _bank_store(self, kf_idx: int, ff: FeatureFrame, kp_pt, ur=None):
         """Mirror a host-side (features, bindings) write into the bank."""
         from ..slam_map import feature_bank as fbank
         self._ensure_bank(ff)
-        self.bank = fbank.set_frame(self.bank, kf_idx, ff, kp_pt)
+        self.bank = fbank.set_frame(self.bank, kf_idx, ff, kp_pt, ur=ur)
 
     def _refresh_view(self, center: int | None = None) -> None:
         """Rebuild the bounded local-map tracking view around `center`
@@ -764,7 +765,7 @@ class System:
         if use_async:
             self.map = m
             m_opt = self._cull_ba(m, jnp.asarray(self.frame_id, jnp.int32),
-                                  jnp.asarray(ki, jnp.int32))
+                                  jnp.asarray(ki, jnp.int32), self.bank)
             self._pending = (m_opt, ki, "kf")
             self._refresh_view()
             return

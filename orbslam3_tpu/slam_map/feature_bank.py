@@ -28,6 +28,7 @@ class FeatureBank(NamedTuple):
     angle: jnp.ndarray    # (K, N) f32
     valid: jnp.ndarray    # (K, N) bool
     kp_pt: jnp.ndarray    # (K, N) int32 keypoint -> map point (-1 unbound)
+    ur: jnp.ndarray       # (K, N) f32 stereo right-u (-1 = mono)
 
 
 def empty_bank(n_kf: int, n_kp: int) -> FeatureBank:
@@ -38,12 +39,15 @@ def empty_bank(n_kf: int, n_kp: int) -> FeatureBank:
         angle=jnp.zeros((n_kf, n_kp), jnp.float32),
         valid=jnp.zeros((n_kf, n_kp), bool),
         kp_pt=jnp.full((n_kf, n_kp), -1, jnp.int32),
+        ur=jnp.full((n_kf, n_kp), -1.0, jnp.float32),
     )
 
 
 def set_frame(bank: FeatureBank, k, ff: FeatureFrame,
-              kp_pt) -> FeatureBank:
+              kp_pt, ur=None) -> FeatureBank:
     """Write one keyframe's features + bindings at row k (k may be traced)."""
+    if ur is None:
+        ur = jnp.full(ff.xy.shape[0], -1.0, jnp.float32)
     return FeatureBank(
         xy=bank.xy.at[k].set(ff.xy),
         desc=bank.desc.at[k].set(ff.desc),
@@ -51,6 +55,7 @@ def set_frame(bank: FeatureBank, k, ff: FeatureFrame,
         angle=bank.angle.at[k].set(ff.angle),
         valid=bank.valid.at[k].set(ff.valid),
         kp_pt=bank.kp_pt.at[k].set(kp_pt),
+        ur=bank.ur.at[k].set(ur),
     )
 
 
