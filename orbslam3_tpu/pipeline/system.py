@@ -536,14 +536,16 @@ class System:
         for k, fix in self.kf_gnss.items():
             prior_pos[k] = s_i * (R_i @ (fix - t_np))
             prior_w[k] = 1.0 / (cfg.gnss_sigma * s_i) ** 2
-        self.map = self._gnss_ba(self.map, jnp.asarray(ki, jnp.int32),
-                                 jnp.asarray(prior_pos),
-                                 jnp.asarray(prior_w))
+        # dispatch as a pending device chain (measured 174 ms at the
+        # 64-cam window on v5e — blocking would dominate the KF frame);
+        # absorbed by the same swap-in path as async mapping / post-loop
+        # GBA, and the per-frame pose optimizer re-anchors the camera to
+        # the geo-corrected map at the first frame after the swap
+        m_opt = self._gnss_ba(self.map, jnp.asarray(ki, jnp.int32),
+                              jnp.asarray(prior_pos),
+                              jnp.asarray(prior_w))
+        self._pending = (m_opt, ki, "gba")
         self._n_gnss_ba = getattr(self, "_n_gnss_ba", 0) + 1
-        self.R_cur = self.map.kf_R[ki]
-        self.t_cur = self.map.kf_t[ki]
-        self.R_prev, self.t_prev = self.R_cur, self.t_cur
-        self.has_velocity = False
 
     def trajectory_geo(self) -> np.ndarray:
         """(N,3) trajectory in the geo frame (+ origin re-base applied),
@@ -864,9 +866,11 @@ class System:
                         kp_pt=self._remap_bindings(self.bank.kp_pt, remap))
                 dirty = True
         if self.georef is not None:
-            n_ba = getattr(self, "_n_gnss_ba", 0)
+            # schedules a pending geo-BA; the map is unchanged here (the
+            # swap-in refreshes the view), so no dirty mark.  A loop
+            # closure below may overwrite the pending slot with its GBA —
+            # the dropped geo-BA is reapplied at the next cadence.
             self._gnss_keyframe_stage(ki, ts)
-            dirty |= getattr(self, "_n_gnss_ba", 0) != n_ba
         if self.loop_closer is not None:
             if self.cfg.enable_loop_closing:
                 merged = False
