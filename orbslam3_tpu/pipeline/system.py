@@ -444,6 +444,10 @@ class System:
         self._cull_ba = _cull_ba
         self._gba = _gba
         self._local_ba = _local_ba
+        # the fused _kf_step closes over THIS visual BA; subclasses that
+        # swap self._local_ba (inertial: LocalInertialBA after IMU init)
+        # are detected in _insert_keyframe and routed around the fusion
+        self._local_ba_default = _local_ba
         self._gnss_ba = _gnss_ba
         self._cull = _cull
         self._compact = _compact
@@ -749,12 +753,22 @@ class System:
                 jnp.asarray(ts, jnp.float32),
                 jnp.asarray(self.frame_id, jnp.int32), kp_ur)
             view = None
-        else:
+        elif self._local_ba is self._local_ba_default:
             m, bank, _, kp_pt_new, n_new, view = self._kf_step(
                 self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
                 jnp.asarray(ts, jnp.float32),
                 jnp.asarray(self.frame_id, jnp.int32), kp_ur,
                 jnp.asarray(ki, jnp.int32))
+        else:
+            # a subclass swapped the window BA (LocalInertialBA) — run the
+            # un-fused chain so the override is honored
+            m, bank, _, kp_pt_new, n_new = self._insert_kf_jit(
+                self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
+                jnp.asarray(ts, jnp.float32),
+                jnp.asarray(self.frame_id, jnp.int32), kp_ur)
+            m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
+            m = self._local_ba(m, jnp.asarray(ki, jnp.int32))
+            view = None
         self.bank = bank
         self.n_kf_host += 1
         self.last_kf_ts = ts
