@@ -113,7 +113,15 @@ class InertialConfig:
     # (reference bFIBA, src/LocalMapping.cc:1201-1210)
     fiba: bool = True
     fiba_iters: int = 12
-    fiba_cams: int = 64          # KF capacity of the full-map FIBA gather
+    # KF capacity of the FIBA gather.  FIBA only fires at the IMU-init
+    # stages (init ~2 s and VIBA1 ~5 s — reference LocalMapping.cc:
+    # 1201-1210 likewise calls FullInertialBA only from InitializeIMU),
+    # i.e. on maps of <= ~30 KFs at any realistic KF cadence; 64 is >2x
+    # headroom, and a temporal window of the NEWEST 64 KFs is the right
+    # truncation if a caller ever re-triggers init on a long map.  Full-
+    # map optimization at capacity is the visual GBA's job
+    # (SlamConfig.post_loop_gba, measured 1.02 s at 256 KF/24.5k pts).
+    fiba_cams: int = 64
     # Per-frame visual-inertial pose optimization in the tracker
     # (PoseInertialOptimizationLastFrame/LastKeyFrame with the
     # marginalized ConstraintPoseImu prior chain)
@@ -187,13 +195,24 @@ class InertialSystem(base.System):
             LocalMapping.cc:1201-1210)."""
 
             @jax.jit
-            def _vi_ba(m, center_kf, f: inertial_solver.PreintFactor):
-                prob_v, cam_sel, cam_ok, pt_sel, pt_ok = \
-                    mapping.gather_window_problem(
-                        m, center_kf, window, cfg.orb.n_levels,
-                        cfg.orb.scale_factor, cap_cams=cams, cap_pts=pts,
-                        cap_obs=obs, window_mode="temporal",
-                        min_anchors=1)
+            def _vi_ba(m, center_kf, f: inertial_solver.PreintFactor,
+                       bank=None):
+                if bank is not None:
+                    # per-KF slab gather (same ~13 ms map-sized-scan
+                    # saving as the visual grid path)
+                    prob_v, cam_sel, cam_ok, pt_sel, pt_ok = \
+                        mapping.gather_window_problem_bank(
+                            m, bank, center_kf, window, cfg.orb.n_levels,
+                            cfg.orb.scale_factor, cap_cams=cams,
+                            cap_pts=pts, cap_obs=obs,
+                            window_mode="temporal", min_anchors=1)
+                else:
+                    prob_v, cam_sel, cam_ok, pt_sel, pt_ok = \
+                        mapping.gather_window_problem(
+                            m, center_kf, window, cfg.orb.n_levels,
+                            cfg.orb.scale_factor, cap_cams=cams,
+                            cap_pts=pts, cap_obs=obs,
+                            window_mode="temporal", min_anchors=1)
                 K = m.kf_R.shape[0]
                 cam_inv = jnp.full(K, -1, jnp.int32).at[
                     jnp.where(cam_ok, cam_sel, K)].set(
@@ -543,7 +562,7 @@ class InertialSystem(base.System):
         f = self._window_factors()
         if f is None:
             return self._visual_local_ba(m, center_kf)
-        return self._vi_local_ba(m, center_kf, f)
+        return self._vi_local_ba(m, center_kf, f, self.bank)
 
     def _preintegrate_buffer(self, t0: float, t1: float):
         """Returns (Preintegrated, raw (acc, gyr, dts) numpy) or None."""
@@ -620,7 +639,8 @@ class InertialSystem(base.System):
                 self.preints, [p[0] for p in self.preint_kf_pairs],
                 [p[1] for p in self.preint_kf_pairs], capacity=capf)
             self.map = self._vi_full_ba(
-                self.map, jnp.asarray(self.last_kf_idx, jnp.int32), f_all)
+                self.map, jnp.asarray(self.last_kf_idx, jnp.int32), f_all,
+                self.bank)
             self.bias = self.map.kf_bias[self.last_kf_idx]
             self.vel = self.map.kf_vel[self.last_kf_idx]
         # refresh tracker pose after re-anchoring
