@@ -126,6 +126,12 @@ class InertialConfig:
     # (PoseInertialOptimizationLastFrame/LastKeyFrame with the
     # marginalized ConstraintPoseImu prior chain)
     use_vi_pose_opt: bool = True
+    # bad-IMU failsafe (reference src/LocalMapping.cc:122-126 +
+    # src/Tracking.cc:368-373): if the inertial init/refine stages never
+    # converge within this much elapsed keyframe time, force a map reset
+    # (a degenerate init — e.g. motion with no acceleration — must not
+    # persist).  Node config uses 500 s (mono_inertial_node.cpp:160).
+    reset_time_thresh: float = 500.0
 
 
 class InertialSystem(base.System):
@@ -519,8 +525,15 @@ class InertialSystem(base.System):
             # VIBA1 stage (reference InitializeIMU at ~5s with weaker
             # priors): re-estimate scale/gravity on the longer baseline
             # and re-anchor (reference src/LocalMapping.cc:192-266)
-            self._initialize_imu()
-            self.viba1_done = True
+            self.viba1_done = self._initialize_imu()
+        # bad-IMU failsafe (reference mbBadImu, src/LocalMapping.cc:
+        # 122-126 + src/Tracking.cc:368-373): the init stages never
+        # converged within reset_time_thresh of keyframe time => the IMU
+        # data (or the motion) is degenerate; force a map reset
+        if not self.viba1_done and self.kf_time0 is not None and \
+                ts - self.kf_time0 > self.icfg.reset_time_thresh:
+            self._reset()
+            return
         # the VI init/FIBA stages above re-anchor (Sim3) and re-optimize
         # the whole map — the tracking view gathered in super() is stale
         self._refresh_view()
@@ -592,8 +605,9 @@ class InertialSystem(base.System):
                                jnp.asarray(dtsp), jnp.asarray(mask), bias)
 
     # -------------------------------------------------------------- IMU init
-    def _initialize_imu(self):
-        """Gravity/scale/bias initialization + map re-anchoring."""
+    def _initialize_imu(self) -> bool:
+        """Gravity/scale/bias initialization + map re-anchoring.
+        Returns True when the stage converged (scale accepted)."""
         m = self.map
         ki = [p[0] for p in self.preint_kf_pairs]
         kj = [p[1] for p in self.preint_kf_pairs]
@@ -610,7 +624,7 @@ class InertialSystem(base.System):
             fix_scale=self.imu_fix_scale)
         s = 1.0 if self.imu_fix_scale else float(res.scale)
         if s < 0.1:   # reference rejects scale < 0.1 (LocalMapping.cc:1166)
-            return
+            return False
         # re-anchor: x' = s * Rgw x  with Rgw = Rwg^T
         Rgw = res.Rwg.T
         self._apply_world_sim3(Rgw, s)
@@ -651,6 +665,7 @@ class InertialSystem(base.System):
         self.has_velocity = False
         self.frame_prior = None
         self._map_updated = True
+        return True
 
     def _cull_keyframe(self, kf_idx: int):
         """KF culling in inertial mode must keep the preintegration chain
@@ -693,12 +708,20 @@ class InertialSystem(base.System):
             del self.preint_raw[i]
         super()._cull_keyframe(kf_idx)
 
-    def _reset(self):
+    def _create_map_in_atlas(self):
+        """Timestamp regression also clears the IMU queue (reference
+        src/Tracking.cc:385-388 clears mlQueueImuData before
+        CreateMapInAtlas): queued samples straddle the time discontinuity
+        and would poison the next preintegration."""
+        self.imu_queue = []
+        super()._create_map_in_atlas()
+
+    def _archive_and_new_map(self):
         """Archive the map and clear ALL inertial bookkeeping (reference
         Tracking::ResetActiveMap clears IMU-init flags and the preint
         chain, src/Tracking.cc:1330-1380); stale factors would otherwise
         reference keyframes of the archived map."""
-        super()._reset()
+        super()._archive_and_new_map()
         self.imu_initialized = False
         self.viba1_done = False
         self.preints = []

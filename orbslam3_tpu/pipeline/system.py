@@ -96,6 +96,12 @@ class SlamConfig:
     gba_iters: int = 8
     enable_relocalization: bool = True  # KF database + reloc on loss
     reloc_patience: int = 10   # frames in RECENTLY_LOST before map reset
+    # timestamp-anomaly failsafes (reference src/Tracking.cc:383-395,
+    # mImageTimeout=3.0 at src/Tracking.cc:53): a frame older than its
+    # predecessor archives the map and starts a fresh one
+    # (CreateMapInAtlas); a gap longer than image_timeout declares the
+    # track LOST (the motion model is useless after seconds of blindness)
+    image_timeout: float = 3.0
     stereo_bf: float = 0.0     # fx * baseline; > 0 enables stereo residuals
     fuse_every_n_kf: int = 4   # SearchInNeighbors cadence (0 = off)
     kf_culling: bool = True    # KeyFrameCulling (fork disabled it; we don't)
@@ -148,6 +154,9 @@ class System:
         self.inliers_at_last_kf = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_resets = 0
+        # timestamp sanity (reference src/Tracking.cc:383-395)
+        self._prev_frame_ts: Optional[float] = None
+        self.n_map_switches = 0   # CreateMapInAtlas events (not resets)
         # host mirror of map.n_kf / last KF timestamp: keyframe indices are
         # host-predictable (append-only), so the hot path never has to
         # round-trip the device for them (each sync costs a full
@@ -571,6 +580,29 @@ class System:
         otherwise they are extracted from `img`.
         """
         self.frame_id += 1
+        # timestamp-anomaly failsafes (reference src/Tracking.cc:383-395)
+        if self.state != NO_IMAGES_YET and self._prev_frame_ts is not None:
+            if ts < self._prev_frame_ts - 1e-9:
+                # frame older than its predecessor: archive the current
+                # map and start fresh (reference CreateMapInAtlas); the
+                # anomalous frame itself is dropped, like the reference's
+                # early return
+                self._create_map_in_atlas()
+                self._prev_frame_ts = None
+                return self.state, None
+            if ts > self._prev_frame_ts + self.cfg.image_timeout and \
+                    self.state in (OK, RECENTLY_LOST):
+                # >image_timeout blind gap => LOST (reference sets LOST,
+                # whose handler resets a young map or archives a mature
+                # one into the Atlas — src/Tracking.cc:391-395 + the LOST
+                # branch; merge-on-revisit can later weld it back)
+                if self.n_kf_host <= 10:
+                    self._reset()
+                else:
+                    self._create_map_in_atlas()
+                self._prev_frame_ts = ts
+                return self.state, None
+        self._prev_frame_ts = ts
         ff = features if features is not None else self._extract(img)
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
@@ -761,11 +793,17 @@ class System:
                 jnp.asarray(ki, jnp.int32))
         else:
             # a subclass swapped the window BA (LocalInertialBA) — run the
-            # un-fused chain so the override is honored
+            # un-fused chain so the override is honored.  Publish the
+            # fresh bank FIRST: the override (InertialSystem's
+            # _vi_ba_dispatch) reads self.bank for its slab gather, and a
+            # stale bank would miss the just-inserted keyframe's rows —
+            # the center KF would then have zero visual observations in
+            # every inertial local BA
             m, bank, _, kp_pt_new, n_new = self._insert_kf_jit(
                 self.map, self.bank, ff, tr.kp_pt, tr.R, tr.t,
                 jnp.asarray(ts, jnp.float32),
                 jnp.asarray(self.frame_id, jnp.int32), kp_ur)
+            self.bank = bank
             m = self._cull(m, jnp.asarray(self.frame_id, jnp.int32))
             m = self._local_ba(m, jnp.asarray(ki, jnp.int32))
             view = None
@@ -780,6 +818,13 @@ class System:
             n_inl if n_inl is not None else int(tr.n_inliers)
         if use_async:
             self.map = m
+            # the forced merge at the top of this method can itself have
+            # scheduled a GBA / geo-BA (loop closure inside
+            # _post_ba_stages); absorb it before claiming the pending
+            # slot, or the post-loop optimization would be silently lost
+            if self._pending is not None:
+                self._merge_pending(force=True)
+                m = self.map
             m_opt = self._cull_ba(m, jnp.asarray(self.frame_id, jnp.int32),
                                   jnp.asarray(ki, jnp.int32), self.bank)
             self._pending = (m_opt, ki, "kf")
@@ -879,12 +924,6 @@ class System:
                     self.bank = self.bank._replace(
                         kp_pt=self._remap_bindings(self.bank.kp_pt, remap))
                 dirty = True
-        if self.georef is not None:
-            # schedules a pending geo-BA; the map is unchanged here (the
-            # swap-in refreshes the view), so no dirty mark.  A loop
-            # closure below may overwrite the pending slot with its GBA —
-            # the dropped geo-BA is reapplied at the next cadence.
-            self._gnss_keyframe_stage(ki, ts)
         if self.loop_closer is not None:
             if self.cfg.enable_loop_closing:
                 merged = False
@@ -897,6 +936,16 @@ class System:
             else:
                 # reloc-only mode: keep the database fed, skip detection
                 self.loop_closer.add_keyframe(self.map, ki, ff)
+        if self.georef is not None:
+            # runs AFTER loop closing/merge so the geo-BA snapshot is
+            # taken from the corrected map (a pre-correction snapshot
+            # merged later would wholesale-revert the loop correction);
+            # the map is unchanged here (the swap-in refreshes the view),
+            # so no dirty mark.  If a loop closure above already claimed
+            # the pending slot with its GBA, skip this cadence — the
+            # geo-BA reapplies at the next one.
+            if self._pending is None:
+                self._gnss_keyframe_stage(ki, ts)
         # rebuild the tracking view LAST if any stage above moved or
         # re-indexed points; otherwise adopt the fused KF program's view
         if dirty or view is None:
@@ -954,9 +1003,22 @@ class System:
     # ---------------------------------------------------------------- reset
     def _reset(self):
         """LOST -> archive the map in the Atlas and start a fresh one
-        (reference src/Tracking.cc:543-544, CreateMapInAtlas :771-805 —
-        the old map is kept, a new one becomes current)."""
+        (reference src/Tracking.cc:543-544)."""
         self.n_resets += 1
+        self._archive_and_new_map()
+
+    def _create_map_in_atlas(self):
+        """Archive the current map and start a fresh one WITHOUT counting
+        a tracking failure (reference Tracking::CreateMapInAtlas,
+        src/Tracking.cc:771-805 — triggered by timestamp anomalies, the
+        old map stays in the Atlas and can be merged back on revisit)."""
+        self.n_map_switches += 1
+        self._archive_and_new_map()
+
+    def _archive_and_new_map(self):
+        """Common core: archive map+features+trajectory into the Atlas,
+        reset all per-map state (the old map is kept — reference
+        CreateMapInAtlas keeps it, a new one becomes current)."""
         self._merge_pending(force=True)   # archive the optimized map
         db = None
         if self.loop_closer is not None:
