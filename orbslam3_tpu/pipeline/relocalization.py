@@ -36,9 +36,18 @@ def attempt_relocalization(system, ff, loop_closer,
     K = m.kf_R.shape[0]
     scores, common = kdb.query(loop_closer.db, bow)
     order = jnp.argsort(-scores)
-    for rank in range(3):  # try the top-3 candidates
-        cand = int(order[rank])
-        if float(scores[cand]) <= 0:
+    scores_np = jax.device_get(scores)
+    order_np = jax.device_get(order)
+    best = float(scores_np[order_np[0]])
+    if best <= 0:
+        return False, None, None
+    # candidate admission: every KF scoring >= 0.75 * bestScore
+    # (reference KeyFrameDatabase::DetectRelocalizationCandidates,
+    # src/KeyFrameDatabase.cc:731 minScoreToRetain) — with aliased
+    # places the true candidate can sit below rank 3
+    for rank in range(K):
+        cand = int(order_np[rank])
+        if float(scores_np[cand]) < 0.75 * best:
             break
         cand_ff = system.kf_features.get(cand)
         cand_kp_pt = system.kf_bindings.get(cand)

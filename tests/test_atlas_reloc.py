@@ -165,3 +165,111 @@ class TestViz:
         outs = sv.on_frame(sys_, img, ff)
         assert len(outs) == 2 and all(os.path.getsize(o) > 5000
                                       for o in outs)
+
+
+class TestRelocCandidateRule:
+    def test_admits_candidates_below_rank_3(self):
+        """Candidate admission must follow the reference's
+        0.75*bestScore cut over ALL scored keyframes
+        (src/KeyFrameDatabase.cc:731), not a fixed top-3: with aliased
+        places the true candidate can sit at rank 4+."""
+        from orbslam3_tpu.ops import cameras
+        from orbslam3_tpu.pipeline import loop_closing, relocalization
+
+        rng = np.random.default_rng(42)
+        n_desc = 200
+        K4j = jnp.asarray(K4)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=HW,
+            map_capacity=mapstate.MapCapacity(n_kf=16, n_pt=4096,
+                                              n_obs=16384))
+        sys_ = slam_system.System(cfg)
+        lc = loop_closing.LoopCloser(
+            loop_closing.LoopConfig(), cfg.map_capacity.n_kf)
+        m = sys_.map
+
+        def pad_ff(xy, desc, n_cap=N_KP):
+            n = xy.shape[0]
+            pad = n_cap - n
+            return FeatureFrame(
+                xy=jnp.asarray(np.concatenate([xy, np.zeros((pad, 2))]),
+                               jnp.float32),
+                response=jnp.ones(n_cap),
+                octave=jnp.zeros(n_cap, jnp.int32),
+                angle=jnp.zeros(n_cap),
+                desc=jnp.asarray(np.concatenate(
+                    [desc, np.zeros((pad, 8), np.uint32)])),
+                valid=jnp.asarray(np.arange(n_cap) < n))
+
+        # family of descriptors shared by the ALIASED keyframes
+        fam = rng.integers(0, 2 ** 32, (n_desc, 8), dtype=np.uint32)
+        # true place: 85% of the family words + 15% distinct -> its
+        # TF-IDF score lands BELOW the aliased keyframes (rank 4+) but
+        # above the 0.75*best admission line
+        n_shared = int(0.85 * n_desc)
+        true_desc = fam.copy()
+        true_desc[n_shared:] = rng.integers(
+            0, 2 ** 32, (n_desc - n_shared, 8), dtype=np.uint32)
+
+        # true 3D scene observed by the query at identity
+        X0 = np.stack([rng.uniform(-3, 3, n_desc),
+                       rng.uniform(-2, 2, n_desc),
+                       rng.uniform(4, 9, n_desc)], 1).astype(np.float32)
+        uv0 = np.asarray(cameras.pinhole_project(K4j, jnp.asarray(X0)))
+
+        # aliased keyframes 0..2: same family words, RANDOM geometry
+        for k in range(3):
+            Xk = np.stack([rng.uniform(-3, 3, n_desc) + 50 * (k + 1),
+                           rng.uniform(-2, 2, n_desc),
+                           rng.uniform(4, 9, n_desc)], 1).astype(np.float32)
+            Rk, tk = jnp.eye(3), jnp.asarray([-50.0 * (k + 1), 0, 0])
+            uvk = np.asarray(cameras.pinhole_project(
+                K4j, lie.se3_apply(Rk, tk, jnp.asarray(Xk))))
+            m, kk = mapstate.add_keyframe(m, Rk, tk, float(k), k)
+            m, ptk = mapstate.add_points(
+                m, jnp.asarray(Xk), jnp.asarray(fam),
+                jnp.tile(jnp.array([0.0, 0, 1]), (n_desc, 1)),
+                jnp.full(n_desc, 1.0), jnp.full(n_desc, 99.0),
+                int(kk), k, jnp.ones(n_desc, bool))
+            ffk = pad_ff(uvk, fam)
+            sys_.kf_features[int(kk)] = ffk
+            sys_.kf_bindings[int(kk)] = jnp.asarray(np.concatenate(
+                [np.asarray(ptk), np.full(N_KP - n_desc, -1)]
+            ).astype(np.int32))
+            lc.add_keyframe(m, int(kk), ffk)
+
+        # the TRUE place keyframe (rank 4 by score)
+        Rt, tt = jnp.eye(3), jnp.zeros(3)
+        m, kt = mapstate.add_keyframe(m, Rt, tt, 3.0, 3)
+        m, pt_t = mapstate.add_points(
+            m, jnp.asarray(X0), jnp.asarray(true_desc),
+            jnp.tile(jnp.array([0.0, 0, 1]), (n_desc, 1)),
+            jnp.full(n_desc, 1.0), jnp.full(n_desc, 99.0),
+            int(kt), 3, jnp.ones(n_desc, bool))
+        ff_t = pad_ff(uv0, true_desc)
+        sys_.kf_features[int(kt)] = ff_t
+        sys_.kf_bindings[int(kt)] = jnp.asarray(np.concatenate(
+            [np.asarray(pt_t), np.full(N_KP - n_desc, -1)]
+        ).astype(np.int32))
+        lc.add_keyframe(m, int(kt), ff_t)
+        sys_.map = m
+
+        # query: the FAMILY descriptors (shares all words with the
+        # aliased keyframes, only 85% with the true place) at the true
+        # place's pixels
+        ff_q = pad_ff(uv0, fam)
+        from orbslam3_tpu.place import keyframe_db as kdb_mod
+        bow, _ = lc._bow(ff_q.desc, ff_q.valid)
+        scores, _ = kdb_mod.query(lc.db, bow)
+        order = np.argsort(-np.asarray(scores))
+        true_rank = int(np.where(order == int(kt))[0][0])
+        assert true_rank >= 3, \
+            f"aliased construction failed: true place at rank {true_rank}"
+        best = float(np.asarray(scores)[order[0]])
+        assert float(np.asarray(scores)[int(kt)]) >= 0.75 * best, \
+            "true place fell below the admission line"
+
+        ok, R, t = relocalization.attempt_relocalization(sys_, ff_q, lc)
+        assert ok, "relocalization failed despite true place admitted"
+        # recovered pose ~ identity (the true place's camera)
+        assert float(jnp.linalg.norm(t)) < 0.1, float(jnp.linalg.norm(t))
