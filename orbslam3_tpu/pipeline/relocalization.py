@@ -67,17 +67,16 @@ def attempt_relocalization(system, ff, loop_closer,
         # culling/fusion may have invalidated a bound point since the
         # candidate KF was inserted — never solve against dead points
         match_ok = mm.valid & m.pt_valid[pt_idx]
-        # prior-free robust PnP (the MLPnP RANSAC slot), which internally
-        # refines with the IRLS pose optimizer
-        from ..geometry import pnp
-        # octave noise model = the measurement covariance of MLPnP's ML
-        # objective (reference MLPnPsolver.h:63-73 propagates it to
-        # bearing space; here it weights the pixel chi2 directly)
+        # the actual MLPnP algorithm (bearing-nullspace ML RANSAC +
+        # GN, reference src/MLPnPsolver.cpp; params at
+        # src/Tracking.cc:839) with the octave noise model as the
+        # per-observation measurement covariance
+        from ..geometry import mlpnp
         sf = system.cfg.orb.scale_factor ** jnp.clip(
             ff.octave, 0, system.cfg.orb.n_levels - 1).astype(jnp.float32)
-        res = pnp.solve_pnp(
+        res = mlpnp.solve_mlpnp(
             X, ff.xy, match_ok, system.cfg.cam_model, system.cam_params,
-            jax.random.PRNGKey(system.frame_id),
+            jax.random.PRNGKey(system.frame_id), iterations=300,
             min_inliers=min_inliers, inv_sigma2=1.0 / (sf * sf))
         if bool(res.success):
             return True, res.R, res.t
