@@ -66,12 +66,16 @@ class StereoSystem(base.System):
         elif self.state in (base.OK, base.RECENTLY_LOST):
             self._track_frame(ff_l, ts)
 
+        out = None
         if self.state == base.OK:
             Rwc = np.asarray(self.R_cur).T
             twc = -Rwc @ np.asarray(self.t_cur)
             self.trajectory.append((ts, Rwc, twc))
-            return self.state, (Rwc, twc)
-        return self.state, None
+            out = (Rwc, twc)
+        if self.viewer is not None:
+            self.viewer.publish(self)
+            self.viewer.wait_if_paused()
+        return self.state, out
 
     # ----------------------------------------------------------------- init
     def _stereo_initialize(self, ff: FeatureFrame, ts: float):

@@ -146,6 +146,8 @@ class System:
         # bounded local-map view (None = track against full capacity);
         # refreshed once per keyframe / reloc / map surgery
         self.view = None
+        # optional live viewer (viz_server.ViewerServer.attach)
+        self.viewer = None
         # async mapping: (optimized-map future, kf index) or None;
         # subclasses that couple tracking to the KF chain (inertial)
         # clear _async_ok to force the sync path
@@ -612,13 +614,19 @@ class System:
         elif self.state in (OK, RECENTLY_LOST):
             self._track_frame(ff, ts)
 
+        out = None
         if self.state == OK:
             # record camera-to-world pose
             Rwc = np.asarray(self.R_cur).T
             twc = -Rwc @ np.asarray(self.t_cur)
             self.trajectory.append((ts, Rwc, twc))
-            return self.state, (Rwc, twc)
-        return self.state, None
+            out = (Rwc, twc)
+        if self.viewer is not None:
+            # live viewer (reference Viewer.cc camera-follow + step
+            # mode): publish a snapshot, then honor pause/step gating
+            self.viewer.publish(self)
+            self.viewer.wait_if_paused()
+        return self.state, out
 
     # ----------------------------------------------------------------- init
     def _initialize(self, ff: FeatureFrame, ts: float):
