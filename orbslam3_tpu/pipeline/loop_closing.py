@@ -165,6 +165,32 @@ class LoopCloser:
         bow, _ = self._bow(ff.desc, ff.valid)
         self.db = kdb.add(self.db, kf_idx, bow)
 
+    # -------------------------------------------------------- online vocab
+    def refine_vocab(self, kf_features: dict, iters: int = 4) -> None:
+        """Online codebook refinement (the analogue of DBoW2's offline
+        k-means training, done on the session's own imagery): k-majority
+        refine the codebook over every stored keyframe's descriptors,
+        then re-encode the database so stored BoW vectors and future
+        queries live in the same refined word space.
+
+        Call between sessions or at map-switch boundaries — the refit +
+        re-encode is a map-sized operation, not a per-frame one."""
+        if not kf_features:
+            return
+        import numpy as np_
+        desc = jnp.asarray(np_.concatenate(
+            [np_.asarray(f.desc) for f in kf_features.values()]))
+        valid = jnp.asarray(np_.concatenate(
+            [np_.asarray(f.valid) for f in kf_features.values()]))
+        self.codebook = vocab_mod.kmeans_refine(
+            self.codebook, desc, valid, iters=iters)
+        self._build_jits()           # rebind the jits to the new anchors
+        self.db = kdb.KeyframeDB.create(self.db.tf.shape[0],
+                                        self.cfg.n_words)
+        for k, f in kf_features.items():
+            self.add_keyframe(None, k, f)
+        self.consistent_groups = []
+
     # ------------------------------------------------------------ detection
     def detect(self, m: mapstate.MapState, kf_idx: int, ff) -> int:
         """Returns loop-candidate KF index or -1.

@@ -56,6 +56,19 @@ def assign_words(desc: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
+def assign_words_chunked(desc: jnp.ndarray, codebook: jnp.ndarray,
+                         chunk: int = 2048) -> jnp.ndarray:
+    """assign_words for training-scale N (the (N, V) distance matrix at
+    300k descriptors x 32k words would be ~40 GB): lax.map over N-chunks
+    keeps one (chunk, V) block live at a time."""
+    N = desc.shape[0]
+    pad = (-N) % chunk
+    dp = jnp.pad(desc, ((0, pad), (0, 0)))
+    blocks = dp.reshape(-1, chunk, desc.shape[1])
+    out = jax.lax.map(lambda b: assign_words(b, codebook), blocks)
+    return out.reshape(-1)[:N]
+
+
 def bow_vector(words: jnp.ndarray, valid: jnp.ndarray,
                n_words: int) -> jnp.ndarray:
     """L1-normalized term-frequency vector (V,) (DBoW2 TF / L1-norm)."""
@@ -73,7 +86,7 @@ def kmeans_refine(codebook: jnp.ndarray, desc: jnp.ndarray,
     w = valid.astype(jnp.float32)[:, None]
 
     def step(cb, _):
-        words = assign_words(desc, cb)
+        words = assign_words_chunked(desc, cb)
         cnt = jnp.zeros(V, jnp.float32).at[words].add(w[:, 0])
         ssum = jnp.zeros((V, 256), jnp.float32).at[words].add(bits * w)
         maj = (ssum > 0.5 * cnt[:, None]).astype(jnp.uint32)

@@ -338,3 +338,55 @@ class TestPoseGraph4DoF:
                              np.asarray(res.t))
         err = float(np.max(np.linalg.norm(centers - gt_t, axis=-1)))
         assert err < 0.08, err
+
+
+class TestOnlineVocabRefine:
+    def test_refine_improves_quantization_and_reencodes_db(self):
+        """LoopCloser.refine_vocab: k-majority over the session's own
+        keyframe descriptors must reduce quantization distance (the
+        online analogue of DBoW2 training) and re-encode the stored DB
+        so a revisit query still ranks its place first."""
+        from orbslam3_tpu.features.extractor import FeatureFrame
+        from orbslam3_tpu.ops import brief
+        from orbslam3_tpu.pipeline import loop_closing
+
+        rng = np.random.default_rng(3)
+        n_kf, n_desc = 12, 256
+        lc = loop_closing.LoopCloser(
+            loop_closing.LoopConfig(vocab="seed"), 32)
+
+        def make_ff(desc):
+            n = desc.shape[0]
+            return FeatureFrame(
+                xy=jnp.zeros((n, 2)), response=jnp.ones(n),
+                octave=jnp.zeros(n, jnp.int32), angle=jnp.zeros(n),
+                desc=jnp.asarray(desc), valid=jnp.ones(n, bool))
+
+        # session imagery: correlated descriptor families (what a real
+        # session produces; the seed codebook is random bits)
+        base = rng.integers(0, 2 ** 32, (n_desc, 8), dtype=np.uint32)
+        kf_features = {}
+        for k in range(n_kf):
+            d = base.copy()
+            for _ in range(6):     # small per-view corruption
+                i = rng.integers(0, n_desc)
+                d[i, rng.integers(0, 8)] ^= np.uint32(
+                    1 << rng.integers(0, 32))
+            kf_features[k] = make_ff(d)
+            lc.add_keyframe(None, k, kf_features[k])
+
+        def mean_qdist(cb):
+            d = brief.hamming_distance(jnp.asarray(base), cb)
+            return float(jnp.mean(jnp.min(d, axis=1)))
+
+        q_before = mean_qdist(lc.codebook)
+        lc.refine_vocab(kf_features)
+        q_after = mean_qdist(lc.codebook)
+        assert q_after < q_before - 1.0, (q_before, q_after)
+
+        # the re-encoded DB still ranks a revisit of KF 3 first
+        from orbslam3_tpu.place import keyframe_db as kdb
+        q = make_ff(np.asarray(kf_features[3].desc))
+        bow, _ = lc._bow(q.desc, q.valid)
+        scores, _ = kdb.query(lc.db, bow)
+        assert int(jnp.argmax(scores)) == 3

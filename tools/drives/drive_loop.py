@@ -45,7 +45,7 @@ def main():
     # 18 m circuit: radius such that 2*pi*r = 18
     r_circ = 18.0 / (2 * np.pi)
     lap = 240                       # frames for one lap
-    n_frames = 300                  # lap + 25% retrace for detection chain
+    n_frames = int(os.environ.get("DRIVE_FRAMES", 300))                  # lap + 25% retrace for detection chain
     dt = 0.1
 
     def pose(i):
