@@ -390,3 +390,76 @@ class TestOnlineVocabRefine:
         bow, _ = lc._bow(q.desc, q.valid)
         scores, _ = kdb.query(lc.db, bow)
         assert int(jnp.argmax(scores)) == 3
+
+
+class TestPoseGraphCG:
+    def test_matrix_free_cg_matches_dense(self):
+        """The matrix-free CG path (pod-scale maps, no (7K,7K)
+        densification) must reproduce the dense solve on the same
+        problem."""
+        rng = np.random.default_rng(0)
+        K = 40
+        angles = np.linspace(0, 2 * np.pi, K, endpoint=False)
+        gt_t = np.stack([np.cos(angles), np.sin(angles),
+                         0.2 * np.sin(3 * angles)], 1) * 4.0
+        Rv, tv = [], []
+        for k in range(K):
+            Rcw = np.asarray(lie.exp_so3(
+                jnp.asarray([0.0, 0.0, angles[k]]))).T
+            Rv.append(Rcw)
+            tv.append(-Rcw @ gt_t[k])
+        Rv = jnp.asarray(np.stack(Rv), jnp.float32)
+        tv = jnp.asarray(np.stack(tv), jnp.float32)
+        # drifted init
+        Rd, td, sd = [Rv[0]], [tv[0]], [1.0]
+        for k in range(1, K):
+            Rz = lie.exp_so3(jnp.asarray([0.0, 0.0, 0.01 * k]))
+            Rd.append(jnp.matmul(Rv[k], Rz))
+            td.append(tv[k] + jnp.asarray(
+                rng.normal(0, 0.02 * k, 3), jnp.float32))
+            sd.append(1.0 + 0.002 * k)
+        Rd, td = jnp.stack(Rd), jnp.stack(td)
+        sd = jnp.asarray(sd, jnp.float32)
+
+        ei, ej, eR, et, es = [], [], [], [], []
+
+        def add_edge(i, j):
+            Rj_inv, tj_inv, sj_inv = lie.sim3_inverse(
+                Rv[j], tv[j], jnp.asarray(1.0))
+            Rm, tm, sm = lie.sim3_compose(Rv[i], tv[i], jnp.asarray(1.0),
+                                          Rj_inv, tj_inv, sj_inv)
+            ei.append(i); ej.append(j); eR.append(Rm); et.append(tm)
+            es.append(sm)
+
+        for k in range(K - 1):
+            add_edge(k + 1, k)
+        add_edge(0, K - 1)
+        for k in range(0, K - 5, 5):      # a few covis-like shortcuts
+            add_edge(k + 4, k)
+
+        kw = dict(
+            fixed=jnp.zeros(K, bool).at[0].set(True),
+            valid=jnp.ones(K, bool),
+            e_i=jnp.asarray(ei), e_j=jnp.asarray(ej),
+            e_R=jnp.stack(eR), e_t=jnp.stack(et), e_s=jnp.stack(es),
+            e_valid=jnp.ones(len(ei), bool), iterations=20)
+        dense = pose_graph.optimize_pose_graph(Rd, td, sd, solver="dense",
+                                               **kw)
+        cgres = pose_graph.optimize_pose_graph(Rd, td, sd, solver="cg",
+                                               **kw)
+        cd = -np.einsum("kji,kj->ki", np.asarray(dense.R),
+                        np.asarray(dense.t)) / np.asarray(dense.s)[:, None]
+        cc = -np.einsum("kji,kj->ki", np.asarray(cgres.R),
+                        np.asarray(cgres.t)) / np.asarray(cgres.s)[:, None]
+        # both near ground truth and near each other
+        assert np.abs(cd - gt_t).max() < 0.05, np.abs(cd - gt_t).max()
+        assert np.abs(cc - gt_t).max() < 0.05, np.abs(cc - gt_t).max()
+        assert np.abs(cc - cd).max() < 0.02, np.abs(cc - cd).max()
+        # 4-DoF mode also works matrix-free
+        res4 = pose_graph.optimize_pose_graph(
+            Rd, td, jnp.ones(K), solver="cg",
+            dof_mask=jnp.asarray(pose_graph.DOF4_MASK), **kw)
+        np.testing.assert_array_equal(np.asarray(res4.s), 1.0)
+        corr = np.einsum("kji,kjl->kil", np.asarray(Rd),
+                         np.asarray(res4.R))
+        np.testing.assert_allclose(corr[:, 2, 2], 1.0, atol=1e-4)
