@@ -638,6 +638,8 @@ class InertialSystem(base.System):
         self.preints = [self._preint_raw(a, g, d, self.bias)
                         for (a, g, d) in self.preint_raw]
         self.imu_initialized = True
+        from ..utils.profiling import Verbose
+        Verbose.print(f"[imu] initialized: scale {s:.4f}", Verbose.NORMAL)
         # Full-map FullInertialBA (bFIBA — reference
         # src/LocalMapping.cc:1201-1210, Optimizer.cc:371-762): jointly
         # refine ALL keyframes/points/velocities/biases after re-anchoring

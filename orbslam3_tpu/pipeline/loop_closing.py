@@ -32,6 +32,7 @@ from ..place import keyframe_db as kdb
 from ..place import vocab as vocab_mod
 from ..slam_map import state as mapstate
 from ..solver import pose_graph
+from ..utils.profiling import Verbose
 
 
 def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
@@ -296,6 +297,8 @@ class LoopCloser:
         system._schedule_gba(kf_idx)
         self.n_loops_closed += 1
         self.consistent_groups = []
+        Verbose.print(f"[loop] closed: KF {kf_idx} <-> KF {cand} "
+                      f"({n_matches} matches)", Verbose.NORMAL)
         return True
 
     # ------------------------------------------------------------ correction

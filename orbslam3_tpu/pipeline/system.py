@@ -37,6 +37,7 @@ from ..ops import lie, matching
 from ..slam_map import atlas as atlas_mod
 from ..slam_map import state as mapstate
 from . import mapping, tracking
+from ..utils.profiling import Verbose
 
 NO_IMAGES_YET = 0
 NOT_INITIALIZED = 1
@@ -706,6 +707,9 @@ class System:
         self.last_kf_id = self.frame_id
         self.last_kf_idx = int(k2)
         self.n_kf_host = 2
+        Verbose.print(f"[init] map initialized at frame "
+                      f"{self.frame_id} ({int(jnp.sum(tri))} points)",
+                      Verbose.NORMAL)
         self.last_kf_ts = ts
         # bindings: cur frame keypoint j <-> point; ref frame keypoint i
         N = ff.xy.shape[0]
@@ -1015,6 +1019,9 @@ class System:
         """LOST -> archive the map in the Atlas and start a fresh one
         (reference src/Tracking.cc:543-544)."""
         self.n_resets += 1
+        Verbose.print(f"[reset] tracking lost at frame {self.frame_id}; "
+                      f"archiving map ({self.n_kf_host} KFs)",
+                      Verbose.NORMAL)
         self._archive_and_new_map()
 
     def _create_map_in_atlas(self):
@@ -1023,6 +1030,9 @@ class System:
         src/Tracking.cc:771-805 — triggered by timestamp anomalies, the
         old map stays in the Atlas and can be merged back on revisit)."""
         self.n_map_switches += 1
+        Verbose.print(f"[atlas] timestamp anomaly at frame "
+                      f"{self.frame_id}: new map in atlas "
+                      f"(archived {self.n_kf_host} KFs)", Verbose.NORMAL)
         self._archive_and_new_map()
 
     def _archive_and_new_map(self):
