@@ -103,7 +103,13 @@ def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
 
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
-    n_words: int = 4096
+    # 32k words: the recall study (tools/vocab_recall_curve.py, curve in
+    # BASELINE.md) shows 4096 words collapse on aliased worlds at 256-KF
+    # capacity (recall@1 0.53, negative true/impostor margin) while 32k
+    # holds 0.92/0.98 — the flat-codebook analogue of the reference's
+    # 1M-leaf DBoW2 tree at MXU-friendly scale.  Per-KF BoW assignment
+    # stays one (N,256)@(256,V) popcount matmul (~0.1 ms at V=32k).
+    n_words: int = 32768
     vocab: str = "trained"          # "trained" (data/vocab_*.npy) | "seed"
     min_common_words: int = 5
     consistency_needed: int = 3     # consecutive consistent detections
