@@ -132,3 +132,48 @@ class TestBadImuFailsafe:
             "bad-IMU failsafe never fired despite init never converging"
         assert not sys_.imu_initialized
         assert sys_.preints == [] and sys_.kf_time0 is None
+
+
+class TestInertialTimestampAnomaly:
+    def test_backwards_ts_clears_imu_queue(self):
+        """Timestamp regression on an inertial system must clear the IMU
+        queue with the map switch (reference src/Tracking.cc:385-388
+        clears mlQueueImuData before CreateMapInAtlas): queued samples
+        straddling the discontinuity would poison the next
+        preintegration."""
+        world = SyntheticWorld(seed=5)
+        n_frames = 30
+        frames, pos, vel, acc, rot, rot_rate = camera_path_smooth(60)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=HW, min_init_matches=80,
+            max_frames_between_kf=6, ba_caps=(24, 4096, 16384))
+        icfg = inertial_system.InertialConfig(imu_freq=IMU_HZ)
+        sys_ = inertial_system.InertialSystem(cfg, icfg)
+        dt_f, dt_i = 1.0 / FPS, 1.0 / IMU_HZ
+        for i in range(n_frames):
+            t_frame = i * dt_f
+            if i > 0:
+                t0 = (i - 1) * dt_f
+                k = 1
+                while t0 + k * dt_i <= t_frame + 1e-9:
+                    tm = t0 + k * dt_i
+                    Rb = rot(tm - 0.5 * dt_i)
+                    sys_.grab_imu(tm, rot_rate(tm - 0.5 * dt_i),
+                                  Rb.T @ (acc(tm - 0.5 * dt_i) - G))
+                    k += 1
+            R_cw, t_cw, _, _ = frames[i]
+            sys_.track_monocular(None, ts=t_frame,
+                                 features=world.frame(R_cw, t_cw))
+        assert sys_.state == slam_system.OK
+        # queue some extra samples, then feed a BACKWARDS frame
+        for k in range(5):
+            sys_.grab_imu(n_frames * dt_f + k * dt_i,
+                          np.zeros(3), np.array([0.0, 0, 9.81]))
+        assert len(sys_.imu_queue) > 0
+        R_cw, t_cw, _, _ = frames[n_frames]
+        st, pose = sys_.track_monocular(
+            None, ts=0.1, features=world.frame(R_cw, t_cw))
+        assert pose is None
+        assert sys_.n_map_switches == 1
+        assert sys_.imu_queue == [], "IMU queue not cleared on ts anomaly"
+        assert sys_.preints == [] and not sys_.imu_initialized
