@@ -88,10 +88,34 @@ def load_system(path: str, system) -> None:
             system.kf_bindings[int(key[5:])] = jnp.asarray(val)
     system.R_cur = jnp.asarray(extras["R_cur"])
     system.t_cur = jnp.asarray(extras["t_cur"])
+    system.R_prev, system.t_prev = system.R_cur, system.t_cur
+    system.has_velocity = False
     system.last_kf_idx = int(system.map.n_kf) - 1
+    # resync the HOST mirrors (keyframe insertion trusts them — stale
+    # zeros would overwrite live keyframe slots on the next insert)
+    system.n_kf_host = int(system.map.n_kf)
+    system.last_kf_ts = float(system.map.kf_ts[system.last_kf_idx]) \
+        if system.n_kf_host else 0.0
+    system._prev_frame_ts = None
+    from ..pipeline.system import OK
+    system.state = OK if system.n_kf_host >= 2 else system.state
     # rebuild the device feature bank from the restored dicts
     system.bank = None
     for k, f in system.kf_features.items():
         b = system.kf_bindings.get(k)
         if b is not None:
             system._bank_store(k, f, b)
+    # rebuild the place-recognition database (reference LoadAtlas
+    # re-encodes every KeyFrame's BoW into the KeyFrameDatabase —
+    # src serialization path; without this a restored session can
+    # neither relocalize nor close loops against the loaded map)
+    if system.loop_closer is not None:
+        from ..place import keyframe_db as kdb
+        lc = system.loop_closer
+        lc.db = kdb.KeyframeDB.create(lc.db.tf.shape[0], lc.cfg.n_words)
+        lc.consistent_groups = []
+        for k, f in system.kf_features.items():
+            lc.add_keyframe(system.map, k, f)
+    # refresh the bounded tracking view against the restored map
+    if system.cfg.local_view_points > 0 and system.n_kf_host:
+        system._refresh_view()

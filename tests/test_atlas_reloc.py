@@ -273,3 +273,67 @@ class TestRelocCandidateRule:
         assert ok, "relocalization failed despite true place admitted"
         # recovered pose ~ identity (the true place's camera)
         assert float(jnp.linalg.norm(t)) < 0.1, float(jnp.linalg.norm(t))
+
+
+class TestCheckpointResume:
+    def test_session_resumes_tracking_and_reloc(self):
+        """Full save/load_system round trip: a FRESH System restored
+        from the checkpoint must keep tracking (host keyframe mirrors
+        resynced — a stale n_kf_host would overwrite live KF slots) and
+        immediately relocalize against the loaded map (the reference's
+        LoadAtlas KeyFrameDatabase re-encode)."""
+        world = SyntheticWorld(seed=9)
+        poses = camera_path(60)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=HW, min_init_matches=80,
+            max_frames_between_kf=6, ba_caps=(24, 4096, 16384),
+            enable_relocalization=True)
+        sys_ = slam_system.System(cfg)
+        for i in range(24):
+            R_cw, t_cw, _ = poses[i]
+            sys_.track_monocular(None, ts=i * 0.05,
+                                 features=world.frame(R_cw, t_cw))
+        assert sys_.state == slam_system.OK
+        nk = sys_.n_kf_host
+        assert nk >= 3
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "ckpt.npz")
+            checkpoint.save_system(p, sys_)
+            sys2 = slam_system.System(cfg)
+            checkpoint.load_system(p, sys2)
+
+        assert sys2.n_kf_host == nk
+        assert abs(sys2.last_kf_ts - sys_.last_kf_ts) < 1e-5
+        assert sys2.state == slam_system.OK
+        # continued tracking: new frames must NOT overwrite old KF slots
+        for i in range(24, 36):
+            R_cw, t_cw, _ = poses[i]
+            st, _ = sys2.track_monocular(None, ts=i * 0.05,
+                                         features=world.frame(R_cw, t_cw))
+        assert sys2.state == slam_system.OK
+        assert sys2.n_resets == 0
+        assert sys2.n_kf_host >= nk
+        # the first nk keyframe timestamps are intact (no slot reuse)
+        np.testing.assert_array_equal(
+            np.asarray(sys2.map.kf_ts[:nk]), np.asarray(sys_.map.kf_ts[:nk]))
+        # relocalization against the restored DB: fresh system + load,
+        # feed a frame from a mapped viewpoint with no motion prior
+        sys3 = slam_system.System(cfg)
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "ckpt.npz")
+            checkpoint.save_system(p, sys_)
+            checkpoint.load_system(p, sys3)
+        from orbslam3_tpu.pipeline import relocalization
+        R_cw, t_cw, _ = poses[10]
+        ok, R, t = relocalization.attempt_relocalization(
+            sys3, world.frame(R_cw, t_cw), sys3.loop_closer)
+        assert ok, "relocalization failed against the restored database"
+        # recovered pose must match the ORIGINAL session's estimate at
+        # that timestamp (the map frame is the init-normalized one, not
+        # the GT world)
+        ref = next(e for e in sys_.trajectory
+                   if abs(e[0] - 10 * 0.05) < 1e-6)
+        center = -jnp.asarray(R).T @ t
+        assert float(jnp.linalg.norm(
+            center - jnp.asarray(ref[2]))) < 0.05
