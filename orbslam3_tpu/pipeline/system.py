@@ -149,6 +149,9 @@ class System:
         self.view = None
         # optional live viewer (viz_server.ViewerServer.attach)
         self.viewer = None
+        # localization-only mode: track against the frozen map, never
+        # insert keyframes (reference mbOnlyTracking)
+        self.localization_only = False
         # async mapping: (optimized-map future, kf index) or None;
         # subclasses that couple tracking to the KF chain (inertial)
         # clear _async_ok to force the sync path
@@ -767,10 +770,14 @@ class System:
         self.R_cur, self.t_cur = tr.R, tr.t
         self.has_velocity = True
 
-        # keyframe decision (reference src/Tracking.cc:985-1005)
+        # keyframe decision (reference src/Tracking.cc:985-1005);
+        # localization-only mode never inserts (reference
+        # System::ActivateLocalizationMode -> mbOnlyTracking,
+        # include/System.h:93)
         need_kf = (self.frame_id - self.last_kf_id >= cfg.max_frames_between_kf) or \
             (n_inl < cfg.kf_inlier_ratio * max(self.inliers_at_last_kf, 1))
-        if need_kf and self.n_kf_host < cfg.map_capacity.n_kf - 1:
+        if need_kf and not self.localization_only and \
+                self.n_kf_host < cfg.map_capacity.n_kf - 1:
             self._insert_keyframe(ff, tr, ts, n_inl=n_inl)
 
     def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float,
@@ -1071,6 +1078,36 @@ class System:
             self.georef = georef_mod.GeometricReferencer(
                 min_kfs=self.cfg.gnss_min_kfs)
 
+    # ------------------------------------------------------------- api
+    def activate_localization_mode(self) -> None:
+        """Track against the frozen map; no keyframes / mapping
+        (reference System::ActivateLocalizationMode)."""
+        self._merge_pending(force=True)
+        self.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.localization_only = False
+
+    def reset(self) -> None:
+        """Public reset (reference System::Reset): archive the active
+        map and start fresh."""
+        self._reset()
+        self.state = NO_IMAGES_YET
+
+    @property
+    def tracking_state(self) -> int:
+        """Reference System::GetTrackingState."""
+        return self.state
+
+    def shutdown(self) -> None:
+        """Absorb pending device work and detach the viewer (reference
+        System::Shutdown; there are no threads to join — mapping chains
+        are absorbed, not killed)."""
+        self._merge_pending(force=True)
+        if self.viewer is not None:
+            self.viewer.stop()
+            self.viewer = None
+
     # ------------------------------------------------------------ trajectory
     def trajectory_tum(self) -> str:
         """TUM-format trajectory (ts x y z qx qy qz qw) for
@@ -1080,4 +1117,25 @@ class System:
             q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))
             lines.append("%.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f" %
                          (ts, twc[0], twc[1], twc[2], q[1], q[2], q[3], q[0]))
+        return "\n".join(lines) + "\n"
+
+    def keyframe_trajectory_tum(self) -> str:
+        """TUM-format KEYFRAME trajectory (reference
+        System::SaveKeyFrameTrajectoryTUM, src/System.cc)."""
+        m = self.map
+        nk = self.n_kf_host
+        kR = np.asarray(m.kf_R[:max(nk, 1)])
+        kt = np.asarray(m.kf_t[:max(nk, 1)])
+        kts = np.asarray(m.kf_ts[:max(nk, 1)])
+        kval = np.asarray(m.kf_valid[:max(nk, 1)])
+        lines = []
+        for k in range(nk):
+            if not kval[k]:
+                continue
+            Rwc = kR[k].T
+            twc = -Rwc @ kt[k]
+            q = np.asarray(lie.rot_to_quat(jnp.asarray(Rwc)))
+            lines.append("%.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f" %
+                         (kts[k], twc[0], twc[1], twc[2],
+                          q[1], q[2], q[3], q[0]))
         return "\n".join(lines) + "\n"

@@ -136,3 +136,42 @@ class TestEndToEnd:
         gt = np.stack([poses[int(round(t / 0.05))][2] for t in ts_used])
         rmse, _, _, _ = align.ate_rmse(jnp.asarray(est), jnp.asarray(gt))
         assert float(rmse) < 0.05, float(rmse)
+
+
+class TestSystemApi:
+    def test_localization_mode_and_exports(self):
+        """Reference System API parity: ActivateLocalizationMode (no
+        keyframes while active, tracking continues), GetTrackingState,
+        SaveKeyFrameTrajectoryTUM, Shutdown."""
+        world = SyntheticWorld(seed=4)
+        poses = camera_path(60)
+        cfg = slam_system.SlamConfig(
+            cam_params=K4, image_hw=HW, min_init_matches=80,
+            max_frames_between_kf=6, ba_caps=(24, 4096, 16384))
+        sys_ = slam_system.System(cfg)
+        for i in range(24):
+            R_cw, t_cw, _ = poses[i]
+            sys_.track_monocular(None, ts=i * 0.05,
+                                 features=world.frame(R_cw, t_cw))
+        assert sys_.tracking_state == slam_system.OK
+        nk = sys_.n_kf_host
+        sys_.activate_localization_mode()
+        for i in range(24, 48):
+            R_cw, t_cw, _ = poses[i]
+            st, _ = sys_.track_monocular(None, ts=i * 0.05,
+                                         features=world.frame(R_cw, t_cw))
+        assert sys_.state == slam_system.OK
+        assert sys_.n_kf_host == nk, "KF inserted in localization mode"
+        sys_.deactivate_localization_mode()
+        for i in range(48, 56):
+            R_cw, t_cw, _ = poses[i]
+            sys_.track_monocular(None, ts=i * 0.05,
+                                 features=world.frame(R_cw, t_cw))
+        assert sys_.n_kf_host > nk, "mapping did not resume"
+        # keyframe trajectory export
+        kf_tum = sys_.keyframe_trajectory_tum()
+        rows = [r for r in kf_tum.splitlines() if r]
+        assert len(rows) == int(jnp.sum(sys_.map.kf_valid))
+        assert len(rows[0].split()) == 8
+        sys_.shutdown()
+        assert sys_._pending is None
