@@ -733,7 +733,20 @@ class InertialSystem(base.System):
 
     def _apply_world_sim3(self, Rg, s: float):
         """World transform x' = s Rg x applied to every KF/point/velocity
-        (reference Map::UpdateKFsAndMapCoordianteFrames)."""
+        (reference Map::UpdateKFsAndMapCoordianteFrames).
+
+        The GNSS georeference window holds SLAM-frame positions — they
+        must ride the same Sim3 or the Umeyama fit mixes pre- and
+        post-re-anchor frames (measured: a 7x IMU-init re-anchor left
+        the SLAM->geo scale at 2.1 instead of 3.0 and the geo error at
+        ~0.8 m instead of ~2 cm)."""
+        if self.georef is not None and self.georef._slam:
+            Rg_np = np.asarray(Rg, np.float64)
+            self.georef._slam = [
+                (float(s) * (Rg_np @ np.asarray(p, np.float64))).astype(
+                    np.float32) for p in self.georef._slam]
+            self.georef.transform = None
+            self.georef.update()
         m = self.map
         kf_R = jnp.einsum("kij,lj->kil", m.kf_R, Rg)  # R_cw Rg^T
         kf_t = m.kf_t * s

@@ -422,6 +422,12 @@ class LoopCloser:
                 new_traj.append((ts_, R_a @ Rwc_,
                                  s_a * (R_a @ twc_) + t_a))
             system.trajectory = new_traj
+        # the GNSS georeference window holds pre-correction SLAM
+        # positions; per-KF corrections are non-uniform, so the window
+        # restarts (re-fills within min_kfs keyframes)
+        if getattr(system, "georef", None) is not None:
+            system.georef._slam.clear()
+            system.georef._gnss.clear()
         # tracker state refresh
         system.R_cur = system.map.kf_R[kf_cur]
         system.t_cur = system.map.kf_t[kf_cur]

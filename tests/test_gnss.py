@@ -73,3 +73,43 @@ class TestGnssEndToEnd:
         assert float(np.sqrt((err ** 2).mean())) < 0.5, err.mean()
         assert bool(jnp.all(jnp.isfinite(sys_.map.kf_t[:int(
             sys_.map.n_kf)])))
+
+
+class TestGeorefSurvivesReanchor:
+    def test_world_sim3_transforms_the_umeyama_window(self):
+        """IMU-init re-anchoring applies a world Sim3 to the map; the
+        georeference's sliding window of SLAM positions must ride the
+        same Sim3 or the Umeyama fit mixes frames (regression: a 7x
+        re-anchor left the SLAM->geo scale at 2.1 instead of 3.0 and
+        the geo error at ~0.8 m in the r4 TPU drive)."""
+        from orbslam3_tpu.pipeline import inertial_system
+        from orbslam3_tpu.pipeline import system as base_sys
+        from orbslam3_tpu.ops import lie
+
+        cfg = base_sys.SlamConfig(
+            cam_params=K4, image_hw=HW, enable_gnss=True, gnss_min_kfs=6)
+        icfg = inertial_system.InertialConfig(imu_freq=200.0)
+        sys_ = inertial_system.InertialSystem(cfg, icfg)
+
+        rng = np.random.default_rng(0)
+        s_geo, t_geo = 3.0, np.array([100.0, -50.0, 10.0])
+        Rgeo = np.asarray(lie.exp_so3(jnp.asarray([0.0, 0.0, 0.6])))
+        # pre-anchor SLAM frame is 1/7 metric
+        pts_metric = rng.normal(0, 2.0, (8, 3))
+        for p in pts_metric:
+            sys_.georef.add_fix((p / 7.0).astype(np.float32),
+                                (s_geo * (Rgeo @ p) + t_geo).astype(
+                                    np.float32))
+        # IMU init re-anchors the world: x' = 7 * Rg x
+        Rg = np.asarray(lie.exp_so3(jnp.asarray([0.05, -0.1, 0.3])))
+        sys_.georef.update()
+        sys_._apply_world_sim3(jnp.asarray(Rg, jnp.float32), 7.0)
+        tr = sys_.georef.transform
+        assert tr is not None
+        # the refreshed transform must map POST-anchor SLAM coords
+        # (metric, Rg-rotated) onto the geo frame
+        np.testing.assert_allclose(float(tr.s), s_geo / 1.0, rtol=1e-3)
+        p_new = (7.0 * Rg @ (pts_metric[0] / 7.0)).astype(np.float32)
+        geo = np.asarray(tr.s * np.asarray(tr.R) @ p_new + np.asarray(tr.t))
+        np.testing.assert_allclose(
+            geo, s_geo * (Rgeo @ pts_metric[0]) + t_geo, atol=1e-2)
