@@ -38,6 +38,8 @@ from ..solver import inertial as inertial_solver
 from ..solver import vi_ba as vi_ba_solver
 from . import mapping, system as base
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def reference_imu_steps(take, t0: float, t1: float, nxt=None):
     """Integration-step schedule of reference Tracking::PreintegrateIMU
@@ -105,6 +107,7 @@ class InertialConfig:
     init_time_s: float = 2.0     # KF time before inertial init
     init_min_kfs: int = 6
     refine_time_s: float = 5.0   # second FIBA stage (VIBA1)
+    refine2_time_s: float = 15.0  # third stage (VIBA2, LocalMapping.cc:242)
     max_imu_per_frame: int = 64  # preintegration buffer capacity
     max_factors: int = 256       # KF-to-KF preintegration capacity
     vi_window_factors: int = 12  # factors in the VI local BA window
@@ -165,6 +168,7 @@ class InertialSystem(base.System):
         self.last_frame_ts: Optional[float] = None
         self.imu_initialized = False
         self.viba1_done = False
+        self.viba2_done = False
         self.bias = jnp.zeros(6)
         self.vel = jnp.zeros(3)          # body velocity, world frame
         self.last_body = None            # (Rwb, pwb) of previous frame
@@ -225,10 +229,12 @@ class InertialSystem(base.System):
                     kf_i=jnp.maximum(fi, 0), kf_j=jnp.maximum(fj, 0),
                     valid=f.valid & (fi >= 0) & (fj >= 0))
                 # body states of the selected cameras
-                Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, prob_v.R)
-                tbw = jnp.einsum("ij,kj->ki", self.Rbc, prob_v.t) + self._tbc
+                Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, prob_v.R,
+                                 precision=_HI)
+                tbw = jnp.einsum("ij,kj->ki", self.Rbc, prob_v.t,
+                                 precision=_HI) + self._tbc
                 Rwb = jnp.swapaxes(Rbw, 1, 2)
-                pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
+                pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw, precision=_HI)
                 prob = vi_ba_solver.VIProblem(
                     Rwb=Rwb, pwb=pwb,
                     vel=m.kf_vel[cam_sel], bias=m.kf_bias[cam_sel],
@@ -245,9 +251,12 @@ class InertialSystem(base.System):
                     iterations=iters, lam0=1.0)
                 # convert optimized body poses back to camera poses
                 Rbw2 = jnp.swapaxes(res.Rwb, 1, 2)
-                tbw2 = -jnp.einsum("kij,kj->ki", Rbw2, res.pwb)
-                Rcw2 = jnp.einsum("ij,kjl->kil", self.Rcb, Rbw2)
-                tcw2 = jnp.einsum("ij,kj->ki", self.Rcb, tbw2) + self.tcb
+                tbw2 = -jnp.einsum("kij,kj->ki", Rbw2, res.pwb,
+                                   precision=_HI)
+                Rcw2 = jnp.einsum("ij,kjl->kil", self.Rcb, Rbw2,
+                                  precision=_HI)
+                tcw2 = jnp.einsum("ij,kj->ki", self.Rcb, tbw2,
+                                  precision=_HI) + self.tcb
                 # scatter back
                 free = cam_ok & ~prob_v.cam_fixed
                 dstc = jnp.where(free, cam_sel, K)
@@ -380,11 +389,28 @@ class InertialSystem(base.System):
                 Rwb, pwb, self.vel, self.bias, self._frame_preint)
             # convert predicted body pose to camera pose guess
             Rg, tg = self._body_to_cam(R2, p2)
-            radius = 4.0
+            # search radius: tight under a warm IMU prediction, wide right
+            # after a map update — a loop correction / GBA merge moves
+            # points by centimetres (measured p95 8 cm ~ 4 px at drive
+            # depth) while the predicted POSE stays good, so a fixed
+            # tight radius loses the map exactly when it most needs
+            # re-acquisition (reference SearchByProjection th=15 for
+            # monocular, src/Tracking.cc TrackWithMotionModel)
+            radius = 12.0 if self._map_updated else 4.0
             tr, self.map = self._track(self.map, ff, Rg, tg,
                                        jnp.asarray(radius, jnp.float32),
                                        self.view)
             n_inl = int(tr.n_inliers)
+            if n_inl < self.cfg.min_track_inliers:
+                # weak match: one retry at doubled radius (reference
+                # doubles th and re-searches when nmatches < 20)
+                tr2, self.map = self._track(
+                    self.map, ff, Rg, tg,
+                    jnp.asarray(2.0 * radius, jnp.float32), self.view)
+                if int(tr2.n_inliers) > n_inl:
+                    tr = tr2
+                    n_inl = int(tr2.n_inliers)
+            self.last_track_inliers = n_inl
             if n_inl < max(8, self.cfg.min_track_inliers // 3):
                 # stay in RECENTLY_LOST predicting from the IMU (reference
                 # Tracking.cc:467-471 keeps predicting for several seconds
@@ -513,13 +539,24 @@ class InertialSystem(base.System):
         if not self.imu_initialized and \
                 len(self.preints) >= self.icfg.init_min_kfs and \
                 ts - self.kf_time0 >= self.icfg.init_time_s:
-            self._initialize_imu()
+            self._initialize_imu(prior_g=1e2, prior_a=1e6)
         elif self.imu_initialized and not self.viba1_done and \
                 ts - self.kf_time0 >= self.icfg.refine_time_s:
             # VIBA1 stage (reference InitializeIMU at ~5s with weaker
-            # priors): re-estimate scale/gravity on the longer baseline
-            # and re-anchor (reference src/LocalMapping.cc:192-266)
-            self.viba1_done = self._initialize_imu()
+            # priors — src/LocalMapping.cc:221-223: priorG=1, priorA=1e5):
+            # re-estimate scale/gravity on the longer baseline and
+            # re-anchor (reference src/LocalMapping.cc:192-266)
+            self.viba1_done = self._initialize_imu(prior_g=1.0,
+                                                   prior_a=1e5)
+        elif self.viba1_done and not self.viba2_done and \
+                ts - self.kf_time0 >= self.icfg.refine2_time_s:
+            # VIBA2 stage (reference src/LocalMapping.cc:242-244:
+            # InitializeIMU(0, 0, ..., minTimeForVIBA2)): one more
+            # scale/gravity re-estimate + full inertial BA on the ~15 s
+            # baseline — monocular visual scale creeps between inertial
+            # refinements, and this is the reference's pull-back
+            self.viba2_done = self._initialize_imu(prior_g=0.0,
+                                                   prior_a=0.0)
         # bad-IMU failsafe (reference mbBadImu, src/LocalMapping.cc:
         # 122-126 + src/Tracking.cc:368-373): the init stages never
         # converged within reset_time_thresh of keyframe time => the IMU
@@ -554,6 +591,16 @@ class InertialSystem(base.System):
         return inertial_solver.stack_preints(
             [pre], [self.last_kf_idx], [self.last_kf_idx + 1], capacity=1)
 
+    def _factor_capacity(self, n: int) -> int:
+        """Bucket a factor count to the next power of two (clamped to
+        max_factors): every distinct capacity is a distinct jit shape,
+        and an unbucketed len(preints) made each FIBA/inertial-GBA call
+        a fresh multi-minute remote compile on the TPU."""
+        cap = 8
+        while cap < n:
+            cap *= 2
+        return min(cap, max(self.icfg.max_factors, 8))
+
     def _window_factors(self):
         """Stack the preintegration factors touching the BA window."""
         capf = self.icfg.vi_window_factors
@@ -570,6 +617,26 @@ class InertialSystem(base.System):
         if f is None:
             return self._visual_local_ba(m, center_kf)
         return self._vi_local_ba(m, center_kf, f, self.bank)
+
+    def _schedule_gba(self, ki: int) -> None:
+        """Post-loop GBA on an IMU-initialized map must be the FULL
+        INERTIAL BA (reference LoopClosing::RunGlobalBundleAdjustment
+        runs Optimizer::FullInertialBA when the active map is IMU-
+        initialized, src/LoopClosing.cc) — a monocular visual GBA
+        leaves the scale gauge free and can rescale the metric map
+        (measured on the vi-loop drive: tail scale drifted to 0.93 and
+        the trajectory diverged 2.2 m after the visual GBA landed)."""
+        if not self.imu_initialized or not self.preints:
+            return super()._schedule_gba(ki)
+        if not self.cfg.post_loop_gba:
+            return
+        capf = self._factor_capacity(len(self.preints))
+        f_all = inertial_solver.stack_preints(
+            self.preints, [p[0] for p in self.preint_kf_pairs],
+            [p[1] for p in self.preint_kf_pairs], capacity=capf)
+        self._pending = (self._vi_full_ba(
+            self.map, jnp.asarray(ki, jnp.int32), f_all, self.bank),
+            ki, "gba")
 
     def _preintegrate_buffer(self, t0: float, t1: float):
         """Returns (Preintegrated, raw (acc, gyr, dts) numpy) or None."""
@@ -599,23 +666,29 @@ class InertialSystem(base.System):
                                jnp.asarray(dtsp), jnp.asarray(mask), bias)
 
     # -------------------------------------------------------------- IMU init
-    def _initialize_imu(self) -> bool:
+    def _initialize_imu(self, prior_g: float = 1e2,
+                        prior_a: float = 1e6) -> bool:
         """Gravity/scale/bias initialization + map re-anchoring.
-        Returns True when the stage converged (scale accepted)."""
+        Returns True when the stage converged (scale accepted).
+        prior_g/prior_a follow the reference's per-stage schedule
+        (src/LocalMapping.cc:195,221,242: init 1e2/1e6 -> VIBA1 1/1e5 ->
+        VIBA2 0/0)."""
         m = self.map
         ki = [p[0] for p in self.preint_kf_pairs]
         kj = [p[1] for p in self.preint_kf_pairs]
-        f = inertial_solver.stack_preints(self.preints, ki, kj,
-                                          capacity=len(self.preints))
+        f = inertial_solver.stack_preints(
+            self.preints, ki, kj,
+            capacity=self._factor_capacity(len(self.preints)))
         K = m.kf_R.shape[0]
         # body poses of all KFs: Twb = (Tbc Tcw)^-1
-        Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, m.kf_R)
-        tbw = jnp.einsum("ij,kj->ki", self.Rbc, m.kf_t) + self._tbc
+        Rbw = jnp.einsum("ij,kjl->kil", self.Rbc, m.kf_R, precision=_HI)
+        tbw = jnp.einsum("ij,kj->ki", self.Rbc, m.kf_t,
+                         precision=_HI) + self._tbc
         Rwb = jnp.swapaxes(Rbw, 1, 2)
-        pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw)
+        pwb = -jnp.einsum("kij,kj->ki", Rwb, tbw, precision=_HI)
         res = inertial_solver.inertial_only_init(
-            f, Rwb, pwb, m.kf_valid, iterations=60,
-            fix_scale=self.imu_fix_scale)
+            f, Rwb, pwb, m.kf_valid, prior_g=prior_g, prior_a=prior_a,
+            iterations=60, fix_scale=self.imu_fix_scale)
         s = 1.0 if self.imu_fix_scale else float(res.scale)
         if s < 0.1:   # reference rejects scale < 0.1 (LocalMapping.cc:1166)
             return False
@@ -624,7 +697,7 @@ class InertialSystem(base.System):
         self._apply_world_sim3(Rgw, s)
         # velocities from the init: already metric (the solver scales
         # positions internally), only rotate into the gravity frame
-        vel_new = jnp.einsum("ij,kj->ki", Rgw, res.vel)
+        vel_new = jnp.einsum("ij,kj->ki", Rgw, res.vel, precision=_HI)
         self.map = self.map._replace(
             kf_vel=vel_new,
             kf_bias=jnp.tile(res.bias[None, :], (K, 1)))
@@ -644,7 +717,7 @@ class InertialSystem(base.System):
         # src/LocalMapping.cc:1201-1210, Optimizer.cc:371-762): jointly
         # refine ALL keyframes/points/velocities/biases after re-anchoring
         if self.icfg.fiba and self.preints:
-            capf = min(len(self.preints), self.icfg.max_factors)
+            capf = self._factor_capacity(len(self.preints))
             f_all = inertial_solver.stack_preints(
                 self.preints, [p[0] for p in self.preint_kf_pairs],
                 [p[1] for p in self.preint_kf_pairs], capacity=capf)
@@ -720,6 +793,7 @@ class InertialSystem(base.System):
         super()._archive_and_new_map()
         self.imu_initialized = False
         self.viba1_done = False
+        self.viba2_done = False
         self.preints = []
         self.preint_kf_pairs = []
         self.preint_raw = []
@@ -748,11 +822,12 @@ class InertialSystem(base.System):
             self.georef.transform = None
             self.georef.update()
         m = self.map
-        kf_R = jnp.einsum("kij,lj->kil", m.kf_R, Rg)  # R_cw Rg^T
+        kf_R = jnp.einsum("kij,lj->kil", m.kf_R, Rg,
+                          precision=_HI)  # R_cw Rg^T
         kf_t = m.kf_t * s
-        pt = s * jnp.einsum("ij,kj->ki", Rg, m.pt_xyz)
-        vel = s * jnp.einsum("ij,kj->ki", Rg, m.kf_vel)
-        nrm = jnp.einsum("ij,kj->ki", Rg, m.pt_normal)
+        pt = s * jnp.einsum("ij,kj->ki", Rg, m.pt_xyz, precision=_HI)
+        vel = s * jnp.einsum("ij,kj->ki", Rg, m.kf_vel, precision=_HI)
+        nrm = jnp.einsum("ij,kj->ki", Rg, m.pt_normal, precision=_HI)
         self.map = m._replace(kf_R=kf_R, kf_t=kf_t, pt_xyz=pt, kf_vel=vel,
                               pt_normal=nrm,
                               pt_min_dist=m.pt_min_dist * s,

@@ -34,6 +34,8 @@ from ..slam_map import state as mapstate
 from ..solver import pose_graph
 from ..utils.profiling import Verbose
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
                           n_covis_edges: int = 256):
@@ -95,8 +97,8 @@ def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
     # measurement S_ij = S_i . S_j^-1 from current poses (s=1)
     Ri, ti = m.kf_R[ei], m.kf_t[ei]
     Rj, tj = m.kf_R[ej], m.kf_t[ej]
-    Rm = jnp.einsum("kij,klj->kil", Ri, Rj)
-    tm = ti - jnp.einsum("kij,kj->ki", Rm, tj)
+    Rm = jnp.einsum("kij,klj->kil", Ri, Rj, precision=_HI)
+    tm = ti - jnp.einsum("kij,kj->ki", Rm, tj, precision=_HI)
     es = jnp.ones(ei.shape[0], jnp.float32)
     return ei.astype(jnp.int32), ej.astype(jnp.int32), Rm, tm, es, evalid
 
@@ -380,8 +382,10 @@ class LoopCloser:
         # — reference CorrectLoop rotates Vw by the KF correction,
         # src/LoopClosing.cc corrected-Sim3 block).  With the 4-DoF
         # inertial graph s_k = 1, so the metric speed is preserved.
-        R_a_kf = jnp.einsum("kji,kjl->kil", res.R, m.kf_R)   # R_new^T R_old
-        vel_new = jnp.einsum("kij,kj->ki", R_a_kf, m.kf_vel) / \
+        R_a_kf = jnp.einsum("kji,kjl->kil", res.R, m.kf_R,
+                            precision=_HI)   # R_new^T R_old
+        vel_new = jnp.einsum("kij,kj->ki", R_a_kf, m.kf_vel,
+                             precision=_HI) / \
             jnp.maximum(res.s, 1e-9)[:, None]
 
         # write back: poses become SE3 with translation t/s (standard

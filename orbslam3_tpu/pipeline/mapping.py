@@ -279,10 +279,20 @@ def gather_window_problem(m: mapstate.MapState, center_kf: jnp.ndarray,
 
     # observations of those points (from any KF)
     obs_rel = obs_ok & (pt_inv[obs_pt_c] >= 0)
-    # cameras touched: window cams free; outside observers fixed
-    cam_touched = jnp.zeros(K, bool).at[obs_kf_c].max(obs_rel)
-    cam_touched |= in_window
-    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+    # cameras touched: window cams free; outside observers fixed.
+    # In-window cams MUST survive the capacity cut (an unscored compact
+    # keeps lowest indices — the OLDEST cams — and once window points are
+    # co-observed by >cap_cams older KFs the live window itself fell out
+    # of the problem: factors remapped invalid, every kept cam fixed,
+    # and the window BA silently became a no-op while tracking drifted);
+    # outside anchors fill the rest best-connected-first
+    cam_nobs = jnp.zeros(K, jnp.int32).at[obs_kf_c].add(
+        obs_rel.astype(jnp.int32))
+    cam_touched = (cam_nobs > 0) | in_window
+    cam_score = cam_nobs.astype(jnp.float32) + \
+        jnp.where(in_window, 1e6, 0.0)
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams,
+                                               score=cam_score)
     obs_rel &= cam_inv[obs_kf_c] >= 0
     obs_sel, obs_sel_valid, _ = _compact(obs_rel, cap_obs)
 
@@ -364,7 +374,12 @@ def gather_window_problem_bank(m: mapstate.MapState, bank, center_kf,
         jnp.where(pt_sel_valid, pt_sel, P)].set(1.0, mode="drop")
     cam_obs_sel = jnp.einsum("pk,p->k", live, sel_mask, precision=_HI)
     cam_touched = ((cam_obs_sel > 0) | in_window) & m.kf_valid
-    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+    # in-window cams first (see gather_window_problem: an unscored
+    # compact drops the live window once >cap_cams cams are touched),
+    # then best-connected anchors
+    cam_score = cam_obs_sel + jnp.where(in_window, 1e6, 0.0)
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams,
+                                               score=cam_score)
 
     # observation rows = the selected cameras' slabs, compacted to cap_obs
     C = cam_sel.shape[0]
@@ -446,9 +461,16 @@ def gather_window_grid(m: mapstate.MapState, center_kf: jnp.ndarray,
                                             score=nobs_win)
 
     obs_rel = obs_ok & (pt_inv[obs_pt_c] >= 0)
-    cam_touched = jnp.zeros(K, bool).at[obs_kf_c].max(obs_rel)
-    cam_touched |= in_window
-    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+    # in-window cams first (see gather_window_problem: an unscored
+    # compact drops the live window once >cap_cams cams are touched),
+    # then best-connected anchors
+    cam_nobs = jnp.zeros(K, jnp.int32).at[obs_kf_c].add(
+        obs_rel.astype(jnp.int32))
+    cam_touched = (cam_nobs > 0) | in_window
+    cam_score = cam_nobs.astype(jnp.float32) + \
+        jnp.where(in_window, 1e6, 0.0)
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams,
+                                               score=cam_score)
 
     # ONE packed scatter builds the grid: [u, v, inv_sigma2, ur, flag]
     gp = pt_inv[obs_pt_c]
@@ -559,7 +581,12 @@ def gather_window_grid_bank(m: mapstate.MapState, bank, center_kf,
         jnp.where(pt_sel_valid, pt_sel, P)].set(1.0, mode="drop")
     cam_obs_sel = jnp.einsum("pk,p->k", live, sel_mask, precision=_HI)
     cam_touched = ((cam_obs_sel > 0) | in_window) & m.kf_valid
-    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams)
+    # in-window cams first (see gather_window_problem: an unscored
+    # compact drops the live window once >cap_cams cams are touched),
+    # then best-connected anchors
+    cam_score = cam_obs_sel + jnp.where(in_window, 1e6, 0.0)
+    cam_sel, cam_sel_valid, cam_inv = _compact(cam_touched, cap_cams,
+                                               score=cam_score)
 
     # observations: the selected cameras' bank slabs, (C, N) rows total
     kpt = bank.kp_pt[cam_sel]                         # (C, N)

@@ -39,6 +39,8 @@ from ..slam_map import state as mapstate
 from . import mapping, tracking
 from ..utils.profiling import Verbose
 
+_HI = jax.lax.Precision.HIGHEST
+
 NO_IMAGES_YET = 0
 NOT_INITIALIZED = 1
 OK = 2
@@ -238,14 +240,49 @@ class System:
         def _merge_opt(m_live, m_opt):
             """Swap the async-optimized snapshot's geometry into the live
             map: KF poses, point positions and cull verdicts from the
-            snapshot; tracking counters and any slots appended after the
-            snapshot (stereo depth points) from the live map."""
+            snapshot; tracking counters from the live map.
+
+            Keyframes/points appended AFTER the snapshot are NOT in the
+            optimized arrays (their slots hold empty-slot values — a
+            wholesale swap would obliterate every KF inserted while the
+            chain was in flight; measured on the vi-loop drive: the
+            post-loop GBA landed 2 KFs late and tracking diverged to
+            2.2 m within a lap).  They are instead REBASED by the last
+            snapshot KF's correction A = (T_a^opt)^-1 . T_a^live, the
+            analogue of the reference propagating the GBA correction to
+            KFs created during GBA via the spanning tree
+            (src/LoopClosing.cc RunGlobalBundleAdjustment, mnBAGlobalForKF
+            walk)."""
             P = m_live.pt_xyz.shape[0]
-            newer = jnp.arange(P) >= m_opt.n_pt
-            pt_xyz = jnp.where(newer[:, None], m_live.pt_xyz, m_opt.pt_xyz)
-            pt_valid = jnp.where(newer, m_live.pt_valid,
+            K = m_live.kf_R.shape[0]
+            new_pt = jnp.arange(P) >= m_opt.n_pt
+            new_kf = jnp.arange(K) >= m_opt.n_kf
+            a = jnp.maximum(m_opt.n_kf - 1, 0)
+            R_al, t_al = m_live.kf_R[a], m_live.kf_t[a]
+            R_ao, t_ao = m_opt.kf_R[a], m_opt.kf_t[a]
+            # A: live-world -> opt-world, A x = R_A x + t_A
+            R_A = jnp.matmul(R_ao.T, R_al, precision=_HI)
+            t_A = jnp.einsum("ji,j->i", R_ao, t_al - t_ao, precision=_HI)
+            # appended KFs: T_j^new = T_j^live . A^-1
+            Rj_new = jnp.einsum("kij,lj->kil", m_live.kf_R, R_A,
+                                precision=_HI)          # R_j R_A^T
+            tj_new = m_live.kf_t - jnp.einsum("kij,j->ki", Rj_new, t_A,
+                                              precision=_HI)
+            kf_R = jnp.where(new_kf[:, None, None], Rj_new, m_opt.kf_R)
+            kf_t = jnp.where(new_kf[:, None], tj_new, m_opt.kf_t)
+            # appended points ride A; world velocities rotate by R_A
+            pt_reb = jnp.einsum("ij,pj->pi", R_A, m_live.pt_xyz,
+                                precision=_HI) + t_A
+            pt_xyz = jnp.where(new_pt[:, None], pt_reb, m_opt.pt_xyz)
+            pt_valid = jnp.where(new_pt, m_live.pt_valid,
                                  m_live.pt_valid & m_opt.pt_valid)
-            return m_live._replace(kf_R=m_opt.kf_R, kf_t=m_opt.kf_t,
+            vel_reb = jnp.einsum("ij,kj->ki", R_A, m_live.kf_vel,
+                                 precision=_HI)
+            kf_vel = jnp.where(new_kf[:, None], vel_reb, m_opt.kf_vel)
+            kf_bias = jnp.where(new_kf[:, None], m_live.kf_bias,
+                                m_opt.kf_bias)
+            return m_live._replace(kf_R=kf_R, kf_t=kf_t, kf_vel=kf_vel,
+                                   kf_bias=kf_bias,
                                    pt_xyz=pt_xyz, pt_valid=pt_valid)
 
         @jax.jit
@@ -272,7 +309,7 @@ class System:
             sel_valid = nps.valid.reshape(-1)[order]
             sel_nn = order // N
             sel_i = order % N
-            Ow = -jnp.einsum("ji,j->i", R, t)
+            Ow = -jnp.einsum("ji,j->i", R, t, precision=_HI)
             X_sel = nps.xyz.reshape(-1, 3)[order]
             desc_sel = ff.desc[sel_i]
             oct_sel = ff.octave[sel_i]
@@ -757,6 +794,7 @@ class System:
                                    jnp.asarray(radius, jnp.float32),
                                    self.view)
         n_inl = int(tr.n_inliers)
+        self.last_track_inliers = n_inl
         if n_inl < cfg.min_track_inliers:
             if self._handle_tracking_loss(ff):
                 return
@@ -880,11 +918,37 @@ class System:
             if ready is not None and not ready():
                 return
         self._pending = None
-        self.map = self._merge_opt(self.map, m_opt)
+        m_live = self.map
+        self.map = self._merge_opt(m_live, m_opt)
         if kind == "gba":
             # post-loop GBA (reference RunGlobalBundleAdjustment merge):
-            # geometry swap only — the LocalMapping stages already ran for
-            # this keyframe before the GBA was scheduled
+            # geometry swap — and the TRACKER state must ride the same
+            # anchor correction A the appended KFs were rebased by
+            # (T_cur' = T_cur . A^-1), or the next frames track a map
+            # that jumped under them
+            a = max(int(m_opt.n_kf) - 1, 0)
+            R_al = np.asarray(m_live.kf_R[a])
+            t_al = np.asarray(m_live.kf_t[a])
+            R_ao = np.asarray(m_opt.kf_R[a])
+            t_ao = np.asarray(m_opt.kf_t[a])
+            R_A = R_ao.T @ R_al
+            t_A = R_ao.T @ (t_al - t_ao)
+            for attr_R, attr_t in (("R_cur", "t_cur"), ("R_prev",
+                                                        "t_prev")):
+                Rv = np.asarray(getattr(self, attr_R))
+                tv = np.asarray(getattr(self, attr_t))
+                Rn = Rv @ R_A.T
+                setattr(self, attr_R, jnp.asarray(Rn))
+                setattr(self, attr_t, jnp.asarray(tv - Rn @ t_A))
+            self.has_velocity = False
+            if hasattr(self, "frame_prior"):     # inertial tracker state
+                self.frame_prior = None
+                self.vel = jnp.asarray(R_A @ np.asarray(self.vel))
+                self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
+                self._map_updated = True
+            Verbose.print(
+                f"[gba] merged: anchor KF {a}, live n_kf "
+                f"{int(m_live.n_kf)}", Verbose.NORMAL)
             self._refresh_view()
             return
         ff = self.kf_features.get(ki)

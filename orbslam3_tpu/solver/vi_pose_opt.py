@@ -62,8 +62,8 @@ def vi_pose_optimization(Rwb0, pwb0, vel0, bias0,
 
     def visual_terms(Rwb, pwb, mask, use_robust):
         Rbw = Rwb.T
-        Xb = (X - pwb) @ Rbw.T
-        Xc = Xb @ Rcb.T + tcb
+        Xb = jnp.matmul(X - pwb, Rbw.T, precision=_HI)
+        Xc = jnp.matmul(Xb, Rcb.T, precision=_HI) + tcb
         e = uv - cameras.project(cam_model, cam_params, Xc)
         Jproj = cameras.project_jac(cam_model, cam_params, Xc)
         # dXc/d[dtheta, dp]: Rwb' = Rwb Exp(dth) => Xb' = Exp(-dth) Rbw (X-p)
@@ -84,7 +84,9 @@ def vi_pose_optimization(Rwb0, pwb0, vel0, bias0,
             r9 = inertial_residual(factor, 0, Rwb_kf, pwb_kf, vel_kf,
                                    R2, p2, v2, bias_kf, gravity)
             rb = (b2 - bias_kf)
-            return jnp.concatenate([L9.T @ r9, Lb.T @ rb])
+            return jnp.concatenate([
+                jnp.matmul(L9.T, r9, precision=_HI),
+                jnp.matmul(Lb.T, rb, precision=_HI)])
 
         z = jnp.zeros(STATE_DIM)
         r = res(z)
@@ -181,8 +183,8 @@ def vi_pose_optimization_last_frame(
 
     def visual_terms(Rwb, pwb, mask, use_robust):
         Rbw = Rwb.T
-        Xb = (X - pwb) @ Rbw.T
-        Xc = Xb @ Rcb.T + tcb
+        Xb = jnp.matmul(X - pwb, Rbw.T, precision=_HI)
+        Xc = jnp.matmul(Xb, Rcb.T, precision=_HI) + tcb
         e = uv - cameras.project(cam_model, cam_params, Xc)
         Jproj = cameras.project_jac(cam_model, cam_params, Xc)
         n = X.shape[0]
@@ -204,7 +206,10 @@ def vi_pose_optimization_last_frame(
                                    b1, gravity)
             rb = b2 - b1
             rp = _state_diff(R1, p1, v1, b1, prior)
-            return jnp.concatenate([L9.T @ r9, Lb.T @ rb, Lp.T @ rp])
+            return jnp.concatenate([
+                jnp.matmul(L9.T, r9, precision=_HI),
+                jnp.matmul(Lb.T, rb, precision=_HI),
+                jnp.matmul(Lp.T, rp, precision=_HI)])
 
         z = jnp.zeros(D)
         return res(z), jax.jacfwd(res)(z)

@@ -108,7 +108,7 @@ class TestBadImuFailsafe:
             reset_time_thresh=2.0)
         sys_ = inertial_system.InertialSystem(cfg, icfg)
         # simulate a permanently-degenerate init (scale always rejected)
-        sys_._initialize_imu = lambda: False
+        sys_._initialize_imu = lambda **kw: False
 
         dt_f = 1.0 / FPS
         dt_i = 1.0 / IMU_HZ
