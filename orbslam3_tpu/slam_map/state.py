@@ -300,6 +300,41 @@ def covisibility_weights(m: MapState, kf_idx: jnp.ndarray) -> jnp.ndarray:
     return counts.astype(jnp.int32).at[kf_idx].set(0)
 
 
+# one f32 (P, K) transient = 32 MB at this entry count; beyond it the
+# chunked path keeps the live footprint at (chunk, K)
+_COVIS_DENSE_MAX_ENTRIES = 8 * 1024 * 1024
+
+
+def covisibility_matrix(m: MapState, chunk: int = 8192,
+                        dense_max_entries: int = _COVIS_DENSE_MAX_ENTRIES
+                        ) -> jnp.ndarray:
+    """(K, K) f32 shared-point counts W = A^T A over the live incidence
+    (the full covisibility graph; reference KeyFrame::UpdateConnections
+    pairwise counters, src/KeyFrame.cc:459).
+
+    Small maps: one MXU matmul over the f32-cast incidence.  Pod-scale
+    maps (P*K beyond the dense cutoff): a `lax.scan` over point blocks
+    accumulates W with only a (chunk, K) f32 transient — the bool
+    pt_kf_mask is the only (P, K) resident, never an f32 copy.  Same
+    one-update fusion lag as `covisibility_weights` (documented there)."""
+    live = live_incidence(m)
+    P, K = live.shape
+    hi = jax.lax.Precision.HIGHEST
+    if P * K <= dense_max_entries:
+        A = live.astype(jnp.float32)
+        return jnp.matmul(A.T, A, precision=hi)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    blocks = jnp.pad(live, ((0, pad), (0, 0))).reshape(n_chunks, chunk, K)
+
+    def body(W, blk):
+        A = blk.astype(jnp.float32)
+        return W + jnp.matmul(A.T, A, precision=hi), None
+
+    W, _ = jax.lax.scan(body, jnp.zeros((K, K), jnp.float32), blocks)
+    return W
+
+
 class PointView(NamedTuple):
     """Bounded local-map view for per-frame tracking.
 
