@@ -59,6 +59,12 @@ class StereoSystem(base.System):
         if img_l is not None and img_r is not None:
             self._depth = self._refine_jit(img_l, img_r, ff_l.xy,
                                            self._depth)
+        return self._track_with_depth(ff_l, ts)
+
+    def _track_with_depth(self, ff_l: FeatureFrame, ts: float):
+        """Shared depth-sensor frame step: self._depth already holds the
+        per-keypoint StereoDepth (from stereo matching or an RGBD depth
+        image)."""
         self.frame_id += 1
 
         if self.state in (base.NO_IMAGES_YET, base.NOT_INITIALIZED):
