@@ -1,9 +1,12 @@
 """TPU verification drive: stressed loop circuit with closure + GBA.
 
-A look-down camera flies one full lap of an 18 m circuit over a textured
+A look-down camera flies one full lap of a 36 m circuit over a textured
 plane, with hostile photometrics (under-exposure, motion blur, sensor
-noise) over the middle 60% of the lap to accumulate genuine drift, then
-retraces the start of the lap.  The PRODUCTION front-end (Pallas ORB
+noise) over the middle 70% of the lap to accumulate genuine drift, then
+retraces the start of the lap.  (Recalibrated from 18 m/60%: the r4
+tracker's weak-match retry + search widening re-attach at the revisit
+once drift < search radius, so the shorter circuit stopped producing
+loop events at all — see CLAUDE.md round-4 late-session notes.)  The PRODUCTION front-end (Pallas ORB
 extraction on rendered pixels) feeds the full System with loop closing
 enabled.  Verifies
   * sustained tracking (0 resets) through the photometric stress,
@@ -42,10 +45,10 @@ def main():
     tex = sr.block_texture(rng, block=10)
     mesas = sr.default_mesas(rng)
 
-    # 18 m circuit: radius such that 2*pi*r = 18
-    r_circ = 18.0 / (2 * np.pi)
-    lap = 240                       # frames for one lap
-    n_frames = int(os.environ.get("DRIVE_FRAMES", 300))                  # lap + 25% retrace for detection chain
+    # 36 m circuit: radius such that 2*pi*r = 36
+    r_circ = 36.0 / (2 * np.pi)
+    lap = 480                       # frames for one lap
+    n_frames = int(os.environ.get("DRIVE_FRAMES", 600))                  # lap + 25% retrace for detection chain
     dt = 0.1
 
     def pose(i):
@@ -61,14 +64,25 @@ def main():
         img = sr.render_plane(R_cw, t_cw, np.asarray(K4), HW, tex,
                               tex_scale=40.0, mesas=mesas)
         u = (i % lap) / lap
-        if 0.2 < u < 0.8:           # hostile middle 60% of the lap
+        # hostile middle 70% of the lap.  Calibration note: the stress
+        # must be strong enough that the lap accumulates REAL drift —
+        # the r4 tracking improvements (post-update search widening,
+        # weak-match retry) cut drift under the old 0.62-exposure /
+        # noise-5 stress to ~2.5 cm over the 18 m lap, at which point
+        # the revisit stays covisible and detection CORRECTLY declines
+        # (same as the clean-circuit drive) — no closure to verify.
+        if 0.15 < u < 0.85:
             img = sr.photometric_stress(
-                img, exposure=0.62, gamma=1.1, vignette=0.35,
-                blur_px=2.5 if i % 3 == 0 else 0.0, blur_dir=(1.0, 0.4),
-                noise=5.0, rng=rng)
+                img, exposure=0.45, gamma=1.2, vignette=0.45,
+                blur_px=2.5 if i % 3 != 2 else 0.0, blur_dir=(1.0, 0.4),
+                noise=10.0, rng=rng)
         return img
 
-    p = OrbParams(n_features=900, n_levels=4)
+    # 600 features (vs the production 900): with the r4 tracker (2x weak-match retry, post-update
+    # search widening) a 900-feature budget tracks the stressed lap with
+    # only ~2-4 cm drift and the revisit stays covisible — no closure to
+    # exercise.  The leaner budget restores genuine drift.
+    p = OrbParams(n_features=600, n_levels=4)
     cfg = base_sys.SlamConfig(
         cam_model="pinhole", cam_params=K4, image_hw=HW, orb=p,
         min_init_matches=60, min_track_inliers=20,
@@ -113,7 +127,7 @@ def main():
           f"last-quarter {float(rmse_q) * 100:.2f} cm")
     print(f"wall: {wall:.0f} s")
 
-    # full-trajectory gate 20 cm on the 18 m stressed circuit (the
+    # full-trajectory gate 20 cm on the 36 m stressed circuit (the
     # middle of the lap keeps residual drift the single loop edge can't
     # remove); the corrected tail must be tight
     ok = (sys_.n_resets == 0 and n_ok > 0.9 * n_frames and
