@@ -192,6 +192,20 @@ class InertialSystem(base.System):
             return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
 
         self._preint = _preint
+
+        @jax.jit
+        def _preint_packed(packed, bias):
+            # one (cap, 8) host->device transfer per call instead of
+            # four (acc, gyr, dts, mask): through the dev tunnel each
+            # small transfer serializes ~RTT against the stream, and the
+            # per-frame tracking path makes two preint calls (frame +
+            # since-KF) — measured in drive_kf_times as part of the ~6
+            # extra syncs/frame of the inertial path
+            acc, gyro = packed[:, 0:3], packed[:, 3:6]
+            dt, mask = packed[:, 6], packed[:, 7] > 0.5
+            return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
+
+        self._preint_packed = _preint_packed
         cfg = self.cfg
         icfg = self.icfg
 
@@ -371,14 +385,11 @@ class InertialSystem(base.System):
         steps = reference_imu_steps(take, t0, t1, nxt)
         cap = self.icfg.max_imu_per_frame
         n = min(steps[0].shape[0], cap)
-        acc = np.zeros((cap, 3), np.float32)
-        gyr = np.zeros((cap, 3), np.float32)
-        dts = np.zeros(cap, np.float32)
-        acc[:n], gyr[:n], dts[:n] = \
+        packed = np.zeros((cap, 8), np.float32)
+        packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
             steps[0][:n], steps[1][:n], steps[2][:n]
-        mask = np.arange(cap) < n
-        return self._preint(jnp.asarray(acc), jnp.asarray(gyr),
-                            jnp.asarray(dts), jnp.asarray(mask), self.bias)
+        packed[:n, 7] = 1.0
+        return self._preint_packed(jnp.asarray(packed), self.bias)
 
     # -------------------------------------------------------------- tracking
     def _track_frame(self, ff, ts):
@@ -475,7 +486,7 @@ class InertialSystem(base.System):
                        self.cfg.max_frames_between_kf) or \
                 (n_inl < self.cfg.kf_inlier_ratio *
                  max(self.inliers_at_last_kf, 1))
-            if need_kf and int(self.map.n_kf) < \
+            if need_kf and self.n_kf_host < \
                     self.cfg.map_capacity.n_kf - 1:
                 self._insert_keyframe(ff, tr, ts)
         else:
@@ -572,7 +583,7 @@ class InertialSystem(base.System):
     def _since_kf_factor(self, ts_now: float):
         """Capacity-1 PreintFactor covering (last KF ts, now] from the
         buffered samples (reference mpImuPreintegratedFromLastKF)."""
-        kf_ts = float(self.map.kf_ts[self.last_kf_idx])
+        kf_ts = self.last_kf_ts      # host mirror — no device round trip
         take = [s for s in self.kf_imu_buffer if kf_ts < s[0] <= ts_now]
         if len(take) < 2:
             return None
@@ -580,14 +591,11 @@ class InertialSystem(base.System):
         steps = reference_imu_steps(take, kf_ts, ts_now, nxt)
         cap = self.icfg.max_imu_per_frame * 16
         n = min(steps[0].shape[0], cap)
-        acc = np.zeros((cap, 3), np.float32)
-        gyr = np.zeros((cap, 3), np.float32)
-        dts = np.zeros(cap, np.float32)
-        acc[:n], gyr[:n], dts[:n] = \
+        packed = np.zeros((cap, 8), np.float32)
+        packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
             steps[0][:n], steps[1][:n], steps[2][:n]
-        mask = np.arange(cap) < n
-        pre = self._preint(jnp.asarray(acc), jnp.asarray(gyr),
-                           jnp.asarray(dts), jnp.asarray(mask), self.bias)
+        packed[:n, 7] = 1.0
+        pre = self._preint_packed(jnp.asarray(packed), self.bias)
         return inertial_solver.stack_preints(
             [pre], [self.last_kf_idx], [self.last_kf_idx + 1], capacity=1)
 
