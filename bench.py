@@ -33,7 +33,7 @@ import numpy as np
 # that emits a diagnostic line and hard-exits if anything later hangs.
 PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT", 150))
 PROBE_RETRIES = int(os.environ.get("BENCH_PROBE_RETRIES", 3))
-GLOBAL_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 1500))
+GLOBAL_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 2100))
 _done = threading.Event()
 
 
@@ -188,6 +188,215 @@ def bench_full_system(jax, jnp):
     return n_frames / dt, n_kf
 
 
+def bench_full_inertial(jax, jnp):
+    """Amortized MONO-INERTIAL SLAM-step throughput (the reference IS a
+    mono-inertial system — src/Tracking.cc:155 asserts IMU_MONOCULAR, so
+    this is the mode its 33 fps baseline actually runs).
+
+    Same methodology as bench_full_system: host loop (real
+    InertialSystem, real IMU synthesis) until the staged IMU init
+    completes, then a steady-state dependent device chain with ZERO host
+    round trips inside the timed region — extract + fused VI tracked
+    frame (preintegration, IMU prediction, track w/ retry, VI pose opt)
+    per frame, the production inertial KF programs (insert+triangulate,
+    cull, device-stacked preint factors, VI window BA, view rebuild) at
+    a 1-in-6 cadence.  Packed IMU rows are staged in device memory up
+    front (sensor-DMA analogue, like the image frames)."""
+    from orbslam3_tpu.features.extractor import OrbParams, extract_jit
+    from orbslam3_tpu.pipeline import inertial_system, system as base_sys
+    from orbslam3_tpu.solver import inertial as inertial_solver
+    from orbslam3_tpu.utils import synth_render as sr
+
+    HW = (480, 752)
+    K4 = (400.0, 400.0, 376.0, 240.0)
+    FPS, IMU_HZ = 10.0, 200.0
+    G = np.array([0.0, 0.0, -9.81])
+    rng = np.random.default_rng(7)
+    tex = sr.block_texture(rng, block=10)
+    p = OrbParams(n_features=1200, n_levels=8)
+    cfg = base_sys.SlamConfig(
+        cam_model="pinhole", cam_params=K4, image_hw=HW, orb=p,
+        min_init_matches=60, min_track_inliers=20,
+        max_frames_between_kf=6)
+    icfg = inertial_system.InertialConfig(
+        imu_freq=IMU_HZ, init_time_s=2.0, init_min_kfs=6,
+        refine_time_s=5.0, refine2_time_s=1e9)   # VIBA2 off: bench spans ~12 s
+    sys_ = inertial_system.InertialSystem(cfg, icfg)
+
+    # camera==body path over the textured plane with vertical bob +
+    # yaw/tilt wobble (accelerometer + gyro excitation for the VI init)
+    def pose(t):
+        x = 0.30 * t
+        y = 0.05 * np.sin(1.7 * t)
+        z = 5.0 + 0.35 * np.sin(1.2 * t)
+        R_cw, t_cw = sr.look_down_pose(x, y, z, yaw=0.04 * np.sin(t),
+                                       tilt=0.03 * np.sin(1.3 * t))
+        return R_cw, t_cw
+
+    def pos_w(t):
+        R_cw, t_cw = pose(t)
+        return -(R_cw.T @ t_cw)
+
+    def imu_at(t, h=1e-3):
+        """Numeric IMU from the analytic pose path (camera == body)."""
+        a_w = (pos_w(t + h) - 2.0 * pos_w(t) + pos_w(t - h)) / (h * h)
+        R0 = pose(t)[0].T          # Rwb
+        R1 = pose(t + h)[0].T
+        dR = R0.T @ R1
+        w = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                      dR[1, 0] - dR[0, 1]]) * 0.5 / h
+        a_b = R0.T @ (a_w - G)
+        return w.astype(np.float32), a_b.astype(np.float32)
+
+    def render(i):
+        t = i / FPS
+        R_cw, t_cw = pose(t)
+        img = sr.render_plane(R_cw, t_cw, np.asarray(K4), HW, tex,
+                              tex_scale=60.0)
+        img += rng.normal(0, 1.5, img.shape).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    warmup, measure, kf_every = 80, 48, 6
+    frames = [render(i) for i in range(warmup + measure)]
+    dt_i = 1.0 / IMU_HZ
+    for i in range(warmup):
+        t1 = i / FPS
+        if i > 0:
+            t0 = (i - 1) / FPS
+            k = 1
+            while t0 + k * dt_i <= t1 + 1e-9:
+                tm = t0 + k * dt_i
+                w, a = imu_at(tm - 0.5 * dt_i)
+                sys_.grab_imu(tm, w, a)
+                k += 1
+        sys_.track_monocular(None, ts=t1,
+                             features=extract_jit(jnp.asarray(frames[i]), p))
+    assert sys_.state == base_sys.OK, "inertial bench failed to track"
+    assert sys_.imu_initialized, "inertial bench: IMU init never fired"
+
+    # ---- steady-state chain: stage EVERYTHING device-side up front
+    capF = icfg.max_imu_per_frame
+    capK = capF * 16
+    kf_sched = [((i - warmup) % kf_every == kf_every - 1)
+                for i in range(warmup, warmup + measure)]
+    last_kf_t = sys_.last_kf_ts
+    ki_host = sys_.n_kf_host
+    packed_dev, sc_dev, kf_pre_dev, ts_dev, fid_dev = [], [], {}, [], []
+    imu_all = []      # (t, w, a) stream for the measured span
+    t0s = (warmup - 1) / FPS
+    tcur = t0s
+    while tcur + dt_i <= (warmup + measure - 1) / FPS + 1e-9:
+        tcur += dt_i
+        w, a = imu_at(tcur - 0.5 * dt_i)
+        imu_all.append((tcur, w, a))
+    prev_kf_ts = last_kf_t
+    kf_count = 0
+    for n, i in enumerate(range(warmup, warmup + measure)):
+        t1, t0 = i / FPS, (i - 1) / FPS
+        take = [s for s in imu_all if t0 < s[0] <= t1]
+        steps = inertial_system.reference_imu_steps(
+            [(t, w, a) for (t, w, a) in take], t0, t1)
+        packed = np.zeros((capF + capK, 8), np.float32)
+        nF = min(len(steps[0]), capF)
+        packed[:nF, 0:3], packed[:nF, 3:6], packed[:nF, 6] = \
+            steps[0][:nF], steps[1][:nF], steps[2][:nF]
+        packed[:nF, 7] = 1.0
+        after_kf = (n > 0 and kf_sched[n - 1])
+        if after_kf:     # LastKeyFrame frame: since-KF rows
+            takeK = [s for s in imu_all if prev_kf_ts < s[0] <= t1]
+            stepsK = inertial_system.reference_imu_steps(
+                takeK, prev_kf_ts, t1)
+            nK = min(len(stepsK[0]), capK)
+            packed[capF:capF + nK, 0:3] = stepsK[0][:nK]
+            packed[capF:capF + nK, 3:6] = stepsK[1][:nK]
+            packed[capF:capF + nK, 6] = stepsK[2][:nK]
+            packed[capF:capF + nK, 7] = 1.0
+        ki_at = ki_host + kf_count - 1
+        sc_dev.append(jnp.asarray(np.asarray(
+            [12.0 if after_kf else 4.0, cfg.min_track_inliers,
+             1.0 if after_kf else 0.0, 1.0, max(ki_at, 0), 0, 0, 0],
+            np.float32)))
+        packed_dev.append(jnp.asarray(packed))
+        ts_dev.append(jnp.asarray(t1, jnp.float32))
+        fid_dev.append(jnp.asarray(i, jnp.int32))
+        if kf_sched[n]:   # KF-interval preint inputs for this frame
+            takeB = [s for s in imu_all if prev_kf_ts < s[0] <= t1]
+            acc, gyr, dts = inertial_system.reference_imu_steps(
+                takeB, prev_kf_ts, t1)
+            nB = min(len(acc), capK)
+            a4 = np.zeros((capK, 3), np.float32)
+            g4 = np.zeros((capK, 3), np.float32)
+            d4 = np.zeros(capK, np.float32)
+            m4 = np.zeros(capK, bool)
+            a4[:nB], g4[:nB], d4[:nB], m4[:nB] = \
+                acc[:nB], gyr[:nB], dts[:nB], True
+            kf_pre_dev[n] = (jnp.asarray(a4), jnp.asarray(g4),
+                             jnp.asarray(d4), jnp.asarray(m4))
+            prev_kf_ts = t1
+            kf_count += 1
+    dev_frames = [jnp.asarray(f) for f in frames[warmup:]]
+    jax.block_until_ready(dev_frames[-1])
+
+    @jax.jit
+    def islam_frame(m, view, img, packed, sc, prior, Rwb, pwb, vel, bias):
+        ff = extract_jit(img, p)
+        m2, out = sys_._vi_track_step(m, view, ff, packed, prior, sc,
+                                      Rwb, pwb, vel, bias)
+        return m2, out, ff
+
+    m, bank, view = sys_.map, sys_.bank, sys_.view
+    Rwb, pwb = sys_.last_body
+    vel, bias = sys_.vel, sys_.bias
+    prior = sys_.frame_prior
+    if prior is None:
+        from orbslam3_tpu.solver import vi_pose_opt as vpo
+        prior = vpo.VIPosePrior(Rwb=Rwb, pwb=pwb, vel=vel, bias=bias,
+                                H=jnp.eye(15))
+    preints = list(sys_.preints)
+    pairs = list(sys_.preint_kf_pairs)
+    kp_ur = jnp.full(p.n_features, -1.0, jnp.float32)
+    capW = icfg.vi_window_factors
+    ki_run = ki_host
+
+    def run(lo, hi):
+        nonlocal m, bank, view, Rwb, pwb, vel, prior, ki_run
+        n_kf = 0
+        for n in range(lo, hi):
+            m, out, ff = islam_frame(m, view, dev_frames[n], packed_dev[n],
+                                     sc_dev[n], prior, Rwb, pwb, vel, bias)
+            Rwb, pwb, vel, prior = out.Rwb, out.pwb, out.vel, out.prior
+            if kf_sched[n] and ki_run < cfg.map_capacity.n_kf - 1:
+                a4, g4, d4, m4 = kf_pre_dev[n]
+                pre = sys_._preint_kf(a4, g4, d4, m4, bias)
+                preints.append(pre)
+                pairs.append((ki_run - 1, ki_run))
+                m, bank, _, kp2, _ = sys_._insert_kf_jit(
+                    m, bank, ff, out.kp_pt, out.R_tr, out.t_tr,
+                    ts_dev[n], fid_dev[n], kp_ur)
+                m = sys_._cull(m, fid_dev[n])
+                f = inertial_solver.stack_preints_device(
+                    preints[-capW:], [q[0] for q in pairs[-capW:]],
+                    [q[1] for q in pairs[-capW:]], capacity=capW)
+                ki_dev = jnp.asarray(ki_run, jnp.int32)
+                m = m._replace(kf_vel=m.kf_vel.at[ki_run].set(vel),
+                               kf_bias=m.kf_bias.at[ki_run].set(bias))
+                m = sys_._vi_local_ba(m, ki_dev, f, bank)
+                view = sys_._gather_view(m, ki_dev)
+                ki_run += 1
+                n_kf += 1
+        return n_kf
+
+    run(0, 2 * kf_every)                       # compile + settle
+    jax.block_until_ready((Rwb, pwb))
+    t0 = time.perf_counter()
+    n_kf = run(2 * kf_every, measure)
+    jax.block_until_ready((Rwb, pwb))
+    dt = time.perf_counter() - t0
+    n_frames = measure - 2 * kf_every
+    assert int(jnp.sum(m.pt_valid.astype(jnp.int32))) > 200
+    return n_frames / dt, n_kf
+
+
 def bench_tracking_chain(jax, jnp):
     from orbslam3_tpu.features.extractor import OrbParams, extract_jit
     from orbslam3_tpu.pipeline import tracking
@@ -252,6 +461,14 @@ def main():
     except Exception as e:           # noqa: BLE001 — one JSON line, always
         _emit_error("bench_exception", f"{type(e).__name__}: {e}")
         return
+    # mono-INERTIAL full-SLAM chain (the reference's actual mode); its
+    # failure must never take down the visual numbers
+    try:
+        inertial_fps, n_kf_i = bench_full_inertial(jax, jnp)
+        inertial_err = None
+    except Exception as e:           # noqa: BLE001
+        inertial_fps, n_kf_i = None, 0
+        inertial_err = f"{type(e).__name__}: {e}"[:200]
     baseline_fps = 33.0  # see BASELINE.md: ~30 ms/frame CPU tracking class
     # headline: per-frame tracking throughput, the reference's own headline
     # number (its mapping runs on separate threads and is excluded from its
@@ -266,6 +483,12 @@ def main():
         "full_slam_fps": round(full_fps, 2),
         "full_slam_vs_baseline": round(full_fps / baseline_fps, 3),
         "keyframes_inserted": n_kf,
+        "full_slam_inertial_fps":
+            round(inertial_fps, 2) if inertial_fps else None,
+        "full_slam_inertial_vs_baseline":
+            round(inertial_fps / baseline_fps, 3) if inertial_fps else None,
+        "inertial_keyframes_inserted": n_kf_i,
+        **({"inertial_error": inertial_err} if inertial_err else {}),
     }), flush=True)
     _done.set()
 

@@ -25,7 +25,7 @@ is Twb = (Tbc Tcw)^-1.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +137,28 @@ class InertialConfig:
     reset_time_thresh: float = 500.0
 
 
+class VITrackOut(NamedTuple):
+    """Device-side outputs of the fused inertial tracked-frame program.
+    Everything the host loop needs to continue — poses, body state,
+    carried prior, IMU prediction (for the loss path) — stays on device;
+    only `stats` is pulled back (ONE sync per tracked frame)."""
+    R_tr: jnp.ndarray      # track-result camera pose (pre-VI-refinement)
+    t_tr: jnp.ndarray
+    kp_pt: jnp.ndarray     # keypoint -> map point bindings
+    R_cur: jnp.ndarray     # final camera pose (VI-refined when accepted)
+    t_cur: jnp.ndarray
+    Rwb: jnp.ndarray       # final body state
+    pwb: jnp.ndarray
+    vel: jnp.ndarray
+    prior: object          # VIPosePrior (next frame's ConstraintPoseImu)
+    Rg: jnp.ndarray        # IMU-predicted camera pose guess (loss path)
+    tg: jnp.ndarray
+    R_pred: jnp.ndarray    # IMU-predicted body state (loss path)
+    p_pred: jnp.ndarray
+    v_pred: jnp.ndarray
+    stats: jnp.ndarray     # i32[4]: [n_inl, vi_ok, n_vi_inl, n_inl_try1]
+
+
 class InertialSystem(base.System):
     # stereo subclasses set True: scale is already metric, the inertial
     # init then solves only gravity/bias/velocities (reference passes
@@ -181,31 +203,12 @@ class InertialSystem(base.System):
         self.kf_time0 = None
         # frame-to-frame VIO prior chain (ConstraintPoseImu / mpcpi)
         self.frame_prior = None
+        self._frame_rows = None   # packed IMU rows for the current frame
         self._map_updated = True
         self._build_inertial_jits()
 
     def _build_inertial_jits(self):
         cal = self.calib
-
-        @jax.jit
-        def _preint(acc, gyro, dt, mask, bias):
-            return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
-
-        self._preint = _preint
-
-        @jax.jit
-        def _preint_packed(packed, bias):
-            # one (cap, 8) host->device transfer per call instead of
-            # four (acc, gyr, dts, mask): through the dev tunnel each
-            # small transfer serializes ~RTT against the stream, and the
-            # per-frame tracking path makes two preint calls (frame +
-            # since-KF) — measured in drive_kf_times as part of the ~6
-            # extra syncs/frame of the inertial path
-            acc, gyro = packed[:, 0:3], packed[:, 3:6]
-            dt, mask = packed[:, 6], packed[:, 7] > 0.5
-            return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
-
-        self._preint_packed = _preint_packed
         cfg = self.cfg
         icfg = self.icfg
 
@@ -293,66 +296,158 @@ class InertialSystem(base.System):
                                       icfg.fiba_cams, pts, obs,
                                       icfg.fiba_iters)
 
-        @jax.jit
-        def _vi_pose_opt(m, kf_idx, f1, kp_pt, ff, Rwb0, pwb0, vel0, bias0):
-            """PoseInertialOptimizationLastKeyFrame parity
-            (reference src/Optimizer.cc:3447): refine the frame's 15-dof
-            state against its map-point matches + the preintegration edge
-            to the last keyframe."""
-            from ..solver import vi_pose_opt as vpo
-            P = m.pt_xyz.shape[0]
-            pt = jnp.clip(kp_pt, 0, P - 1)
-            X = m.pt_xyz[pt]
-            sf = jnp.asarray(cfg.orb.scale_factor **
-                             jnp.arange(cfg.orb.n_levels, dtype=jnp.float32))
-            inv_s2 = 1.0 / sf[jnp.clip(ff.octave, 0,
-                                       cfg.orb.n_levels - 1)] ** 2
-            valid = (kp_pt >= 0) & ff.valid
-            # last-KF body state
-            Rbw = self.Rbc @ m.kf_R[kf_idx]
-            tbw = self.Rbc @ m.kf_t[kf_idx] + self._tbc
-            Rwb_kf = Rbw.T
-            pwb_kf = -Rwb_kf @ tbw
-            return vpo.vi_pose_optimization(
-                Rwb0, pwb0, vel0, bias0,
-                Rwb_kf, pwb_kf, m.kf_vel[kf_idx], m.kf_bias[kf_idx],
-                f1, X, ff.xy, inv_s2, valid,
-                cfg.cam_model, self.cam_params,
-                self.Rcb, self.tcb, imu_ops.GRAVITY)
-
-        self._vi_pose_opt = _vi_pose_opt
-
-        @jax.jit
-        def _vi_pose_opt_lf(m, prior, f1, kp_pt, ff, Rwb0, pwb0, vel0,
-                            bias0):
-            """PoseInertialOptimizationLastFrame parity (reference
-            src/Optimizer.cc:3846-4276): the frame-to-frame VIO chain
-            with the marginalized ConstraintPoseImu prior."""
-            from ..solver import vi_pose_opt as vpo
-            P = m.pt_xyz.shape[0]
-            pt = jnp.clip(kp_pt, 0, P - 1)
-            X = m.pt_xyz[pt]
-            sf = jnp.asarray(cfg.orb.scale_factor **
-                             jnp.arange(cfg.orb.n_levels, dtype=jnp.float32))
-            inv_s2 = 1.0 / sf[jnp.clip(ff.octave, 0,
-                                       cfg.orb.n_levels - 1)] ** 2
-            valid = (kp_pt >= 0) & ff.valid
-            return vpo.vi_pose_optimization_last_frame(
-                Rwb0, pwb0, vel0, bias0, prior, f1,
-                X, ff.xy, inv_s2, valid,
-                cfg.cam_model, self.cam_params,
-                self.Rcb, self.tcb, imu_ops.GRAVITY)
-
-        self._vi_pose_opt_lf = _vi_pose_opt_lf
-
-        # KF-interval preintegration at the large buffer capacity (the
-        # per-frame _preint is cap max_imu_per_frame; KF intervals span
-        # many frames).  Also reused by Reintegrate and MergePrevious.
+        # KF-interval preintegration at the large buffer capacity
+        # (capacity max_imu_per_frame*16; KF intervals span many frames).
+        # Also reused by Reintegrate and MergePrevious.
         @jax.jit
         def _preint_kf(acc, gyro, dt, mask, bias):
             return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
 
         self._preint_kf = _preint_kf
+
+        from ..solver import vi_pose_opt as vpo
+        from . import tracking as tracking_mod
+        capF = icfg.max_imu_per_frame
+        capK = icfg.max_imu_per_frame * 16
+
+        @jax.jit
+        def _vi_track_step(m, view, ff, packed, prior, sc,
+                           Rwb, pwb, vel, bias):
+            """The ENTIRE inertial tracked frame as ONE device program.
+
+            r4 measured (drive_kf_times, BASELINE.md): the inertial
+            tracked frame cost 486.9 ms wall vs 79.7 visual through the
+            ~70 ms-RTT tunnel — ~6 extra host<->device syncs per frame
+            (inlier-count retry gate, VI-opt admission gates, preint
+            factor staging).  This program fuses frame preintegration,
+            IMU state prediction (Tracking::PredictStateIMU,
+            src/Tracking.cc:293-350), local-map tracking with the
+            weak-match doubled-radius retry as a lax.cond, and the
+            visual-inertial pose optimization (LastKeyFrame/LastFrame
+            dispatch, src/Tracking.cc:934-956) with the accept decision
+            as a device-side select.  The host reads back exactly ONE
+            small stats array per frame.
+
+            packed: (capF+capK, 8) rows [acc(3) gyr(3) dt ok] — frame-
+            interval steps first, since-last-KF steps after.
+            sc: f32[8] = [radius, min_track_inliers, use_lastkf,
+            has_opt, last_kf_idx, 0, 0, 0].
+            """
+            rowsF = packed[:capF]
+            preF = imu_ops.preintegrate(
+                rowsF[:, 0:3], rowsF[:, 3:6], rowsF[:, 6],
+                rowsF[:, 7] > 0.5, cal, bias)
+            R2, p2, v2 = imu_ops.predict_state(Rwb, pwb, vel, bias, preF)
+            # predicted body pose -> camera pose guess
+            Rbw = R2.T
+            tbw = -jnp.matmul(Rbw, p2, precision=_HI)
+            Rg = jnp.matmul(self.Rcb, Rbw, precision=_HI)
+            tg = jnp.matmul(self.Rcb, tbw, precision=_HI) + self.tcb
+
+            radius = sc[0]
+            min_inl = sc[1].astype(jnp.int32)
+            use_lastkf = sc[2] > 0.5
+            has_opt = sc[3] > 0.5
+            kf_idx = sc[4].astype(jnp.int32)
+
+            def run_track(m_, rad):
+                tr = tracking_mod.track_local_map(
+                    m_, ff, Rg, tg, cfg.cam_model, self.cam_params,
+                    cfg.image_hw, cfg.orb.scale_factor, cfg.orb.n_levels,
+                    radius_th=rad, view=view)
+                return tr, tracking_mod.update_point_stats(m_, tr)
+
+            tr1, m1 = run_track(m, radius)
+
+            def retry(_):
+                # weak match: one retry at doubled radius (reference
+                # doubles th and re-searches when nmatches < 20); stats
+                # from the first attempt persist, like the host loop did
+                tr2, m2 = run_track(m1, 2.0 * radius)
+                better = tr2.n_inliers > tr1.n_inliers
+                return jax.tree.map(
+                    lambda a, b: jnp.where(better, a, b),
+                    (tr2, m2), (tr1, m1))
+
+            tr, m_out = jax.lax.cond(tr1.n_inliers < min_inl, retry,
+                                     lambda _: (tr1, m1), None)
+
+            # VI pose refinement inputs
+            P = m.pt_xyz.shape[0]
+            pt = jnp.clip(tr.kp_pt, 0, P - 1)
+            X = m_out.pt_xyz[pt]
+            sf = jnp.asarray(cfg.orb.scale_factor **
+                             jnp.arange(cfg.orb.n_levels, dtype=jnp.float32))
+            inv_s2 = 1.0 / sf[jnp.clip(ff.octave, 0,
+                                       cfg.orb.n_levels - 1)] ** 2
+            valid = (tr.kp_pt >= 0) & ff.valid
+            # body state from the track result (the opt's initial state)
+            Rbw_t = jnp.matmul(self.Rbc, tr.R, precision=_HI)
+            tbw_t = jnp.matmul(self.Rbc, tr.t, precision=_HI) + self._tbc
+            Rwb_t = Rbw_t.T
+            pwb_t = -jnp.matmul(Rwb_t, tbw_t, precision=_HI)
+
+            def branch_kf(_):
+                """PoseInertialOptimizationLastKeyFrame (reference
+                src/Optimizer.cc:3447): factor = preintegration since the
+                last KF, rebuilt in-program from the packed rows."""
+                rowsK = packed[capF:]
+                preK = imu_ops.preintegrate(
+                    rowsK[:, 0:3], rowsK[:, 3:6], rowsK[:, 6],
+                    rowsK[:, 7] > 0.5, cal, bias)
+                fK = inertial_solver.factor_from_preint(preK)
+                Rbw_k = jnp.matmul(self.Rbc, m_out.kf_R[kf_idx],
+                                   precision=_HI)
+                tbw_k = jnp.matmul(self.Rbc, m_out.kf_t[kf_idx],
+                                   precision=_HI) + self._tbc
+                Rwb_kf = Rbw_k.T
+                pwb_kf = -jnp.matmul(Rwb_kf, tbw_k, precision=_HI)
+                res = vpo.vi_pose_optimization(
+                    Rwb_t, pwb_t, v2, bias,
+                    Rwb_kf, pwb_kf, m_out.kf_vel[kf_idx],
+                    m_out.kf_bias[kf_idx], fK, X, ff.xy, inv_s2, valid,
+                    cfg.cam_model, self.cam_params,
+                    self.Rcb, self.tcb, imu_ops.GRAVITY)
+                npr = vpo.VIPosePrior(Rwb=res.Rwb, pwb=res.pwb,
+                                      vel=res.vel, bias=bias, H=res.H)
+                return res.Rwb, res.pwb, res.vel, npr, res.n_inliers
+
+            def branch_lf(_):
+                """PoseInertialOptimizationLastFrame (reference
+                src/Optimizer.cc:3846): the frame-to-frame VIO chain with
+                the marginalized ConstraintPoseImu prior; factor = the
+                frame-interval preintegration."""
+                fF = inertial_solver.factor_from_preint(preF)
+                res, npr = vpo.vi_pose_optimization_last_frame(
+                    Rwb_t, pwb_t, v2, bias, prior, fF,
+                    X, ff.xy, inv_s2, valid,
+                    cfg.cam_model, self.cam_params,
+                    self.Rcb, self.tcb, imu_ops.GRAVITY)
+                return res.Rwb, res.pwb, res.vel, npr, res.n_inliers
+
+            Rwb_o, pwb_o, vel_o, prior_o, n_vi = jax.lax.cond(
+                use_lastkf, branch_kf, branch_lf, None)
+            ok = has_opt & (n_vi >= 8)
+            Rwb_f = jnp.where(ok, Rwb_o, Rwb_t)
+            pwb_f = jnp.where(ok, pwb_o, pwb_t)
+            vel_f = jnp.where(ok, vel_o, v2)
+            prior_out = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), prior_o, prior)
+            # final camera pose from the (possibly refined) body state
+            Rbw_f = Rwb_f.T
+            tbw_f = -jnp.matmul(Rbw_f, pwb_f, precision=_HI)
+            R_cur = jnp.matmul(self.Rcb, Rbw_f, precision=_HI)
+            t_cur = jnp.matmul(self.Rcb, tbw_f, precision=_HI) + self.tcb
+            stats = jnp.stack([tr.n_inliers, ok.astype(jnp.int32), n_vi,
+                               tr1.n_inliers])
+            return m_out, VITrackOut(
+                R_tr=tr.R, t_tr=tr.t, kp_pt=tr.kp_pt,
+                R_cur=R_cur, t_cur=t_cur,
+                Rwb=Rwb_f, pwb=pwb_f, vel=vel_f, prior=prior_out,
+                Rg=Rg, tg=tg, R_pred=R2, p_pred=p2, v_pred=v2,
+                stats=stats)
+
+        self._vi_track_step = _vi_track_step
 
     # ------------------------------------------------------------------ api
     def grab_imu(self, ts: float, gyro, acc):
@@ -360,17 +455,20 @@ class InertialSystem(base.System):
                                np.asarray(acc, np.float32)))
 
     def track_monocular(self, img, ts: float, features=None):
-        self._frame_preint = self._preintegrate_interval(
-            self.last_frame_ts, ts)
+        self._frame_rows = self._interval_rows(self.last_frame_ts, ts)
         self.last_frame_ts = ts
         return super().track_monocular(img, ts, features)
 
     # -------------------------------------------------------- preintegration
-    def _preintegrate_interval(self, t0: Optional[float], t1: float):
-        """Preintegrate queued samples in (t0, t1] with the reference's
-        midpoint + endpoint-interpolation scheme (Tracking::PreintegrateIMU,
-        src/Tracking.cc:243-283; the sample just beyond t1 is peeked but
-        left in the queue, exactly like the reference)."""
+    def _interval_rows(self, t0: Optional[float], t1: float):
+        """Integration-step rows for queued samples in (t0, t1] with the
+        reference's midpoint + endpoint-interpolation scheme
+        (Tracking::PreintegrateIMU, src/Tracking.cc:243-283; the sample
+        just beyond t1 is peeked but left in the queue, exactly like the
+        reference).  Returns packed (capF, 8) numpy rows
+        [acc(3) gyr(3) dt ok] or None — the PREINTEGRATION itself happens
+        inside the fused tracked-frame program (host staging of a device
+        Preintegrated cost ~2 tunnel syncs per frame)."""
         if t0 is None:
             # drop stale samples, no preintegration for first frame
             self.imu_queue = [s for s in self.imu_queue if s[0] > t1 - 1e-9]
@@ -389,106 +487,97 @@ class InertialSystem(base.System):
         packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
             steps[0][:n], steps[1][:n], steps[2][:n]
         packed[:n, 7] = 1.0
-        return self._preint_packed(jnp.asarray(packed), self.bias)
+        return packed
 
     # -------------------------------------------------------------- tracking
     def _track_frame(self, ff, ts):
         if self.imu_initialized and self.last_body is not None and \
-                self._frame_preint is not None:
+                self._frame_rows is not None:
+            import types
+            from ..solver import vi_pose_opt as vpo
             Rwb, pwb = self.last_body
-            R2, p2, v2 = imu_ops.predict_state(
-                Rwb, pwb, self.vel, self.bias, self._frame_preint)
-            # convert predicted body pose to camera pose guess
-            Rg, tg = self._body_to_cam(R2, p2)
-            # search radius: tight under a warm IMU prediction, wide right
-            # after a map update — a loop correction / GBA merge moves
-            # points by centimetres (measured p95 8 cm ~ 4 px at drive
-            # depth) while the predicted POSE stays good, so a fixed
-            # tight radius loses the map exactly when it most needs
-            # re-acquisition (reference SearchByProjection th=15 for
-            # monocular, src/Tracking.cc TrackWithMotionModel)
+            # VI refinement dispatch: LastKeyFrame right after a map
+            # update (KF insertion / BA / re-anchor), otherwise the
+            # frame-to-frame LastFrame chain with the marginalized
+            # ConstraintPoseImu prior (reference TrackLocalMap dispatch,
+            # src/Tracking.cc:934-956)
+            use_lastkf = self._map_updated or self.frame_prior is None
+            capF = self.icfg.max_imu_per_frame
+            capK = capF * 16
+            packed = np.zeros((capF + capK, 8), np.float32)
+            packed[:capF] = self._frame_rows
+            has_opt = float(self.icfg.use_vi_pose_opt)
+            if use_lastkf and has_opt:
+                rowsK = self._since_kf_rows(ts)
+                if rowsK is None:
+                    has_opt = 0.0
+                else:
+                    packed[capF:] = rowsK
+            # search radius: tight under a warm IMU prediction, wide
+            # right after a map update — a loop correction / GBA merge
+            # moves points by centimetres (measured p95 8 cm ~ 4 px at
+            # drive depth) while the predicted POSE stays good, so a
+            # fixed tight radius loses the map exactly when it most
+            # needs re-acquisition (reference SearchByProjection th=15
+            # for monocular, src/Tracking.cc TrackWithMotionModel)
             radius = 12.0 if self._map_updated else 4.0
-            tr, self.map = self._track(self.map, ff, Rg, tg,
-                                       jnp.asarray(radius, jnp.float32),
-                                       self.view)
-            n_inl = int(tr.n_inliers)
-            if n_inl < self.cfg.min_track_inliers:
-                # weak match: one retry at doubled radius (reference
-                # doubles th and re-searches when nmatches < 20)
-                tr2, self.map = self._track(
-                    self.map, ff, Rg, tg,
-                    jnp.asarray(2.0 * radius, jnp.float32), self.view)
-                if int(tr2.n_inliers) > n_inl:
-                    tr = tr2
-                    n_inl = int(tr2.n_inliers)
+            sc = np.asarray([radius, self.cfg.min_track_inliers,
+                             1.0 if use_lastkf else 0.0, has_opt,
+                             max(self.last_kf_idx, 0), 0.0, 0.0, 0.0],
+                            np.float32)
+            prior = self.frame_prior
+            if prior is None:
+                # dummy prior (LastKF branch selected; never read)
+                z3 = jnp.zeros(3)
+                prior = vpo.VIPosePrior(Rwb=jnp.eye(3), pwb=z3, vel=z3,
+                                        bias=jnp.zeros(6),
+                                        H=jnp.eye(15))
+            m2, out = self._vi_track_step(
+                self.map, self.view, ff, jnp.asarray(packed), prior,
+                jnp.asarray(sc), Rwb, pwb, self.vel, self.bias)
+            # THE one host<->device sync of the inertial tracked frame
+            st = np.asarray(out.stats)
+            n_inl = int(st[0])
+            vi_ok = bool(st[1])
             self.last_track_inliers = n_inl
             if n_inl < max(8, self.cfg.min_track_inliers // 3):
                 # stay in RECENTLY_LOST predicting from the IMU (reference
                 # Tracking.cc:467-471 keeps predicting for several seconds
                 # before declaring LOST); only reset after patience expires
-                self.R_cur, self.t_cur = Rg, tg
-                self.R_prev, self.t_prev = Rg, tg
-                self.vel = v2
-                self.last_body = (R2, p2)
+                self.R_cur, self.t_cur = out.Rg, out.tg
+                self.R_prev, self.t_prev = out.Rg, out.tg
+                self.vel = out.v_pred
+                self.last_body = (out.R_pred, out.p_pred)
                 if self._handle_tracking_loss(ff):
                     return
                 self._reset()
                 return
+            self.map = m2
             self.lost_frames = 0
             self.state = base.OK
             self.R_prev, self.t_prev = self.R_cur, self.t_cur
-            self.R_cur, self.t_cur = tr.R, tr.t
+            self.R_cur, self.t_cur = out.R_cur, out.t_cur
             self.has_velocity = True
-            self.vel = v2
-            self.last_body = self._cam_to_body(self.R_cur, self.t_cur)
-            # visual-inertial frame refinement: LastKeyFrame right after a
-            # map update (KF insertion / BA / re-anchor), otherwise the
-            # frame-to-frame LastFrame chain with the marginalized
-            # ConstraintPoseImu prior (reference TrackLocalMap dispatch,
-            # src/Tracking.cc:934-956)
-            if self.icfg.use_vi_pose_opt:
-                from ..solver import vi_pose_opt as vpo
-                Rb0, pb0 = self.last_body
-                if self._map_updated or self.frame_prior is None:
-                    f1 = self._since_kf_factor(ts)
-                    if f1 is not None:
-                        res = self._vi_pose_opt(
-                            self.map,
-                            jnp.asarray(self.last_kf_idx, jnp.int32),
-                            f1, tr.kp_pt, ff, Rb0, pb0, self.vel,
-                            self.bias)
-                        if int(res.n_inliers) >= 8:
-                            self.R_cur, self.t_cur = self._body_to_cam(
-                                res.Rwb, res.pwb)
-                            self.vel = res.vel
-                            self.last_body = (res.Rwb, res.pwb)
-                            self.frame_prior = vpo.VIPosePrior(
-                                Rwb=res.Rwb, pwb=res.pwb, vel=res.vel,
-                                bias=self.bias, H=res.H)
-                            self._map_updated = False
-                else:
-                    f1 = inertial_solver.stack_preints(
-                        [self._frame_preint], [0], [1], capacity=1) \
-                        if self._frame_preint is not None else None
-                    if f1 is not None:
-                        res, new_prior = self._vi_pose_opt_lf(
-                            self.map, self.frame_prior, f1, tr.kp_pt, ff,
-                            Rb0, pb0, self.vel, self.bias)
-                        if int(res.n_inliers) >= 8:
-                            self.R_cur, self.t_cur = self._body_to_cam(
-                                res.Rwb, res.pwb)
-                            self.vel = res.vel
-                            self.last_body = (res.Rwb, res.pwb)
-                            self.frame_prior = new_prior
-                        else:
-                            self.frame_prior = None
+            self.vel = out.vel
+            self.last_body = (out.Rwb, out.pwb)
+            if vi_ok:
+                self.frame_prior = out.prior
+                if use_lastkf:
+                    self._map_updated = False
+            elif not use_lastkf:
+                # LastFrame chain rejected: drop the prior (the reference
+                # deletes mpcpi when the optimization fails)
+                self.frame_prior = None
             need_kf = (self.frame_id - self.last_kf_id >=
                        self.cfg.max_frames_between_kf) or \
                 (n_inl < self.cfg.kf_inlier_ratio *
                  max(self.inliers_at_last_kf, 1))
             if need_kf and self.n_kf_host < \
                     self.cfg.map_capacity.n_kf - 1:
-                self._insert_keyframe(ff, tr, ts)
+                tr = types.SimpleNamespace(
+                    kp_pt=out.kp_pt, R=out.R_tr, t=out.t_tr,
+                    n_inliers=st[0])
+                self._insert_keyframe(ff, tr, ts, n_inl=n_inl)
         else:
             super()._track_frame(ff, ts)
             if self.state == base.OK:
@@ -580,9 +669,10 @@ class InertialSystem(base.System):
         # the whole map — the tracking view gathered in super() is stale
         self._refresh_view()
 
-    def _since_kf_factor(self, ts_now: float):
-        """Capacity-1 PreintFactor covering (last KF ts, now] from the
-        buffered samples (reference mpImuPreintegratedFromLastKF)."""
+    def _since_kf_rows(self, ts_now: float):
+        """Packed integration rows covering (last KF ts, now] from the
+        buffered samples (reference mpImuPreintegratedFromLastKF); the
+        preintegration runs inside the fused tracked-frame program."""
         kf_ts = self.last_kf_ts      # host mirror — no device round trip
         take = [s for s in self.kf_imu_buffer if kf_ts < s[0] <= ts_now]
         if len(take) < 2:
@@ -595,9 +685,7 @@ class InertialSystem(base.System):
         packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
             steps[0][:n], steps[1][:n], steps[2][:n]
         packed[:n, 7] = 1.0
-        pre = self._preint_packed(jnp.asarray(packed), self.bias)
-        return inertial_solver.stack_preints(
-            [pre], [self.last_kf_idx], [self.last_kf_idx + 1], capacity=1)
+        return packed
 
     def _factor_capacity(self, n: int) -> int:
         """Bucket a factor count to the next power of two (clamped to
@@ -618,7 +706,7 @@ class InertialSystem(base.System):
             return None
         ki = [p[0] for p in pairs]
         kj = [p[1] for p in pairs]
-        return inertial_solver.stack_preints(pre, ki, kj, capacity=capf)
+        return inertial_solver.stack_preints_device(pre, ki, kj, capacity=capf)
 
     def _vi_ba_dispatch(self, m, center_kf):
         f = self._window_factors()
@@ -639,7 +727,7 @@ class InertialSystem(base.System):
         if not self.cfg.post_loop_gba:
             return
         capf = self._factor_capacity(len(self.preints))
-        f_all = inertial_solver.stack_preints(
+        f_all = inertial_solver.stack_preints_device(
             self.preints, [p[0] for p in self.preint_kf_pairs],
             [p[1] for p in self.preint_kf_pairs], capacity=capf)
         self._pending = (self._vi_full_ba(
@@ -684,7 +772,7 @@ class InertialSystem(base.System):
         m = self.map
         ki = [p[0] for p in self.preint_kf_pairs]
         kj = [p[1] for p in self.preint_kf_pairs]
-        f = inertial_solver.stack_preints(
+        f = inertial_solver.stack_preints_device(
             self.preints, ki, kj,
             capacity=self._factor_capacity(len(self.preints)))
         K = m.kf_R.shape[0]
@@ -726,7 +814,7 @@ class InertialSystem(base.System):
         # refine ALL keyframes/points/velocities/biases after re-anchoring
         if self.icfg.fiba and self.preints:
             capf = self._factor_capacity(len(self.preints))
-            f_all = inertial_solver.stack_preints(
+            f_all = inertial_solver.stack_preints_device(
                 self.preints, [p[0] for p in self.preint_kf_pairs],
                 [p[1] for p in self.preint_kf_pairs], capacity=capf)
             self.map = self._vi_full_ba(

@@ -314,6 +314,12 @@ class LoopCloser:
     def _correct_loop(self, system, kf_cur: int, kf_loop: int,
                       sim3: sim3solver.Sim3Result):
         """Essential-graph optimization + point transport."""
+        # exact covisibility for the graph: the maintained pt_kf_mask
+        # over-approximates when fusion invalidates individual
+        # observations while both endpoints stay alive (reference
+        # UpdateConnections lag); one O(n_obs) scatter is cheap here
+        # relative to the closure's GBA, so refresh it
+        system.map = mapstate.rebuild_incidence(system.map)
         m = system.map
         K = m.kf_R.shape[0]
         nk = int(m.n_kf)

@@ -99,15 +99,23 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
         # swap in the merged map; remap host-side dictionaries
         new_features = dict(sess.kf_features)
         new_bindings = dict(sess.kf_bindings)
+        new_ur = dict(sess.kf_ur) if sess.kf_ur else {}
         for k, v in system.kf_features.items():
             new_features[k + kf_off] = v
         for k, b in system.kf_bindings.items():
             new_bindings[k + kf_off] = jnp.where(b >= 0, b + pt_off, -1)
+        for k, u in system.kf_ur.items():
+            new_ur[k + kf_off] = u
         system.map = merged
         system.n_kf_host = int(merged.n_kf)   # resync the host mirror
         system.kf_features = new_features
         system.kf_bindings = new_bindings
-        # rebuild the device feature bank over the merged keyframe set
+        system.kf_ur = new_ur
+        # rebuild the device feature bank over the merged keyframe set;
+        # stereo right-u rows come from the host kf_ur mirror so the
+        # bank-sourced BAs keep their metric stereo residuals across the
+        # merge (reference welding BA keeps stereo edges,
+        # src/Optimizer.cc:3156-3446)
         if system.bank is not None:
             from ..slam_map import feature_bank as fbank
             system.bank = fbank.empty_bank(system.bank.xy.shape[0],
@@ -115,9 +123,8 @@ def try_merge(system, ff, kf_idx: int, min_matches: int = 25,
             for k, f in new_features.items():
                 b = new_bindings.get(k)
                 if b is not None and f.capacity == system.bank.xy.shape[1]:
-                    # ur unavailable host-side: restored rows fall
-                    # back to mono residuals in bank-sourced BA
-                    system.bank = fbank.set_frame(system.bank, k, f, b)
+                    system.bank = fbank.set_frame(system.bank, k, f, b,
+                                                  ur=new_ur.get(k))
         system.last_kf_idx = kf_idx + kf_off
         # keyframe indices of the current session shifted by kf_off:
         # remap the inertial preintegration chain and the GNSS anchors

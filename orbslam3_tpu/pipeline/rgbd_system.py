@@ -34,6 +34,14 @@ class RGBDSystem(stereo_system.StereoSystem):
         super().__init__(config, scfg)
         fx = float(config.cam_params[0])
         bf = fx * scfg.baseline
+        # the BA's stereo residual scales by cfg.stereo_bf while the
+        # virtual ur here scales by fx*baseline — they must be the SAME
+        # quantity (reference Camera.bf feeds both) or ur residuals are
+        # silently mis-weighted
+        if abs(config.stereo_bf - bf) > 1e-4 * max(bf, 1.0):
+            raise ValueError(
+                f"RGBDSystem: config.stereo_bf={config.stereo_bf} != "
+                f"fx*baseline={bf}; set stereo_bf=fx*baseline")
         max_depth = scfg.max_depth_factor * scfg.baseline * 3
 
         @jax.jit

@@ -57,7 +57,7 @@ class StereoInertialSystem(inertial_system.InertialSystem):
             # scale at large baseline-to-depth ratios
             self._depth = self._refine_jit(img_l, img_r, ff_l.xy,
                                            self._depth)
-        self._frame_preint = self._preintegrate_interval(
+        self._frame_rows = self._interval_rows(
             self.last_frame_ts, ts)
         self.last_frame_ts = ts
         self.frame_id += 1

@@ -120,8 +120,9 @@ class StereoSystem(base.System):
         self.last_kf_ts = ts
         self.kf_features[int(k0)] = ff
         self.kf_bindings[int(k0)] = jnp.where(ok, pt_idx, -1)
+        self.kf_ur[int(k0)] = jnp.where(d.valid, d.ur, -1.0)
         self._bank_store(int(k0), ff, self.kf_bindings[int(k0)],
-                         ur=jnp.where(d.valid, d.ur, -1.0))
+                         ur=self.kf_ur[int(k0)])
         self.inliers_at_last_kf = n_ok
         self._refresh_view()
 

@@ -32,6 +32,7 @@ class MapSession:
     kf_bindings: dict
     trajectory: list
     db: object = None   # archived place-recognition KeyframeDB
+    kf_ur: dict = None  # kf_idx -> stereo right-u rows (stereo/RGBD)
 
 
 @dataclasses.dataclass
@@ -40,13 +41,13 @@ class Atlas:
     sessions: list = dataclasses.field(default_factory=list)
 
     def store_session(self, m, kf_features, kf_bindings, trajectory,
-                      db=None):
+                      db=None, kf_ur=None):
         """Archive the current map (reference CreateNewMap keeps old maps)."""
         if int(m.n_kf) >= 2:
             self.sessions.append(MapSession(
                 map=m, kf_features=dict(kf_features),
                 kf_bindings=dict(kf_bindings), trajectory=list(trajectory),
-                db=db))
+                db=db, kf_ur=dict(kf_ur) if kf_ur else None))
 
     @property
     def n_maps(self) -> int:

@@ -53,15 +53,42 @@ def load_map(path: str) -> mapstate.MapState:
 
 
 def save_system(path: str, system) -> None:
-    """Checkpoint a System: map + per-KF features/bindings + tracker pose."""
+    """Checkpoint a System: map + per-KF features/bindings + tracker pose.
+
+    Inertial sessions additionally carry the IMU tracker state and the
+    preintegration chain's RAW measurement buffers (the analogue of the
+    reference's KeyFrame serialization backup fields
+    mBackupImuPreintegrated / bias backups, include/KeyFrame.h:304-330):
+    factors are REPLAYED from the raw buffers at restore time, so a
+    restored session can keep culling/reintegrating exactly like a live
+    one."""
     extras = {}
     for k, ff in system.kf_features.items():
         extras[f"ff_{k}"] = {f: np.asarray(getattr(ff, f))
                              for f in ff._fields}
     for k, b in system.kf_bindings.items():
         extras[f"bind_{k}"] = np.asarray(b)
+    for k, u in system.kf_ur.items():
+        extras[f"ur_{k}"] = np.asarray(u)
     extras["R_cur"] = np.asarray(system.R_cur)
     extras["t_cur"] = np.asarray(system.t_cur)
+    if hasattr(system, "preint_raw"):      # InertialSystem & subclasses
+        extras["inertial"] = {
+            "bias": np.asarray(system.bias),
+            "vel": np.asarray(system.vel),
+            "imu_initialized": bool(system.imu_initialized),
+            "viba1_done": bool(system.viba1_done),
+            "viba2_done": bool(system.viba2_done),
+            "kf_time0": system.kf_time0,
+            "last_frame_ts": system.last_frame_ts,
+            "preint_kf_pairs": list(system.preint_kf_pairs),
+            "preint_raw": [(np.asarray(a), np.asarray(g), np.asarray(d))
+                           for (a, g, d) in system.preint_raw],
+            "kf_imu_buffer": [(float(t), np.asarray(g), np.asarray(a))
+                              for (t, g, a) in system.kf_imu_buffer],
+            "imu_queue": [(float(t), np.asarray(g), np.asarray(a))
+                          for (t, g, a) in system.imu_queue],
+        }
     flat = {f"map__{k}": np.asarray(v)
             for k, v in system.map._asdict().items()}
     import pickle
@@ -86,6 +113,8 @@ def load_system(path: str, system) -> None:
                 **{f: jnp.asarray(v) for f, v in val.items()})
         elif key.startswith("bind_"):
             system.kf_bindings[int(key[5:])] = jnp.asarray(val)
+        elif key.startswith("ur_"):
+            system.kf_ur[int(key[3:])] = jnp.asarray(val)
     system.R_cur = jnp.asarray(extras["R_cur"])
     system.t_cur = jnp.asarray(extras["t_cur"])
     system.R_prev, system.t_prev = system.R_cur, system.t_cur
@@ -104,7 +133,7 @@ def load_system(path: str, system) -> None:
     for k, f in system.kf_features.items():
         b = system.kf_bindings.get(k)
         if b is not None:
-            system._bank_store(k, f, b)
+            system._bank_store(k, f, b, ur=system.kf_ur.get(k))
     # rebuild the place-recognition database (reference LoadAtlas
     # re-encodes every KeyFrame's BoW into the KeyFrameDatabase —
     # src serialization path; without this a restored session can
@@ -116,6 +145,30 @@ def load_system(path: str, system) -> None:
         lc.consistent_groups = []
         for k, f in system.kf_features.items():
             lc.add_keyframe(system.map, k, f)
+    # inertial tracker state + preintegration chain (reference
+    # KeyFrame.h:304-330 serialization backups): factors are replayed
+    # from the raw buffers at the restored bias — the restored session
+    # continues WITHOUT a scale re-initialization
+    iner = extras.get("inertial")
+    if iner is not None and hasattr(system, "preint_raw"):
+        system.bias = jnp.asarray(iner["bias"])
+        system.vel = jnp.asarray(iner["vel"])
+        system.imu_initialized = iner["imu_initialized"]
+        system.viba1_done = iner["viba1_done"]
+        system.viba2_done = iner["viba2_done"]
+        system.kf_time0 = iner["kf_time0"]
+        system.last_frame_ts = iner["last_frame_ts"]
+        system.preint_kf_pairs = [tuple(p) for p in iner["preint_kf_pairs"]]
+        system.preint_raw = [(a, g, d) for (a, g, d) in iner["preint_raw"]]
+        system.preints = [system._preint_raw(a, g, d, system.bias)
+                          for (a, g, d) in system.preint_raw]
+        system.kf_imu_buffer = [(t, g, a)
+                                for (t, g, a) in iner["kf_imu_buffer"]]
+        system.imu_queue = [(t, g, a) for (t, g, a) in iner["imu_queue"]]
+        system.last_body = system._cam_to_body(system.R_cur, system.t_cur)
+        system.frame_prior = None
+        system._frame_rows = None
+        system._map_updated = True
     # refresh the bounded tracking view against the restored map
     if system.cfg.local_view_points > 0 and system.n_kf_host:
         system._refresh_view()

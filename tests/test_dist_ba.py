@@ -88,3 +88,30 @@ class TestDistBA:
                                         np.asarray(probp.obs_valid))):
             if ok:
                 assert i // obs_per == p // pts_per
+
+    def test_comm_modes_agree(self):
+        """The communication-avoiding 'dense' scheme (1 batched psum +
+        1 cost psum per LM iteration) and the keyframe-block-sharded
+        'camshard' scheme must converge to the same solution as the
+        per-matvec-psum baseline (VERDICT r4 next-step #3: the ~35
+        collectives/LM-iter latency floor is an algorithmic property;
+        these modes remove it without changing the optimum).  n_cams=8
+        so camshard's rows divide the mesh."""
+        assert len(jax.devices()) >= 8, "needs 8 virtual devices"
+        prob, (R_gt, t_gt, X_gt) = synth_problem(
+            jax.random.PRNGKey(2), n_cams=8)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("shard",))
+        probp = dist_ba.partition_problem(prob, 8)
+        outs = {}
+        for comm in ("matvec", "dense", "camshard"):
+            R, t, X, cost = dist_ba.dist_bundle_adjust(
+                probp, mesh, cam_model="pinhole", cam_params=K_EUROC,
+                iterations=10, comm=comm)
+            # exact observations -> every mode recovers ground truth
+            err_t = float(jnp.max(jnp.linalg.norm(t - t_gt, axis=-1)))
+            assert err_t < 5e-3, (comm, err_t)
+            outs[comm] = (np.asarray(t), float(cost))
+        # and the modes agree with each other to solver tolerance
+        for comm in ("dense", "camshard"):
+            d = np.max(np.abs(outs[comm][0] - outs["matvec"][0]))
+            assert d < 2e-3, (comm, d)

@@ -1,0 +1,88 @@
+"""Inertial checkpoint/resume (VERDICT r4 missing #5).
+
+Save a mono-inertial session mid-drive AFTER the IMU initialized, restore
+into a FRESH system, and continue the drive: the restored session must
+keep its metric scale (no scale re-initialization — imu_initialized /
+bias / preint chain all ride the checkpoint, reference
+include/KeyFrame.h:304-330 serialization backup fields) and track the
+remaining segment with bounded error.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam3_tpu.ops import align
+from orbslam3_tpu.pipeline import inertial_system, system as base_sys
+from orbslam3_tpu.slam_map import checkpoint
+from test_inertial_pipeline import FPS, G, IMU_HZ, camera_path_smooth
+from test_pipeline_e2e import HW, K4, SyntheticWorld
+
+
+def _drive(sys_, world, frames, pos, acc, rot, rot_rate, lo, hi):
+    dt_f, dt_i = 1.0 / FPS, 1.0 / IMU_HZ
+    for i in range(lo, hi):
+        t_frame = i * dt_f
+        if i > 0:
+            t0 = (i - 1) * dt_f
+            k = 1
+            while t0 + k * dt_i <= t_frame + 1e-9:
+                tm = t0 + k * dt_i
+                Rb = rot(tm - 0.5 * dt_i)
+                a_body = Rb.T @ (acc(tm - 0.5 * dt_i) - G)
+                w_body = rot_rate(tm - 0.5 * dt_i)
+                sys_.grab_imu(tm, w_body, a_body)
+                k += 1
+        R_cw, t_cw, twc, Rwc = frames[i]
+        ff = world.frame(R_cw, t_cw)
+        sys_.track_monocular(None, ts=t_frame, features=ff)
+
+
+@pytest.mark.slow
+class TestInertialCheckpoint:
+    def test_save_restore_continue_metric(self, tmp_path):
+        world = SyntheticWorld(seed=3)
+        n_frames, n_cut = 120, 78
+        frames, pos, vel, acc, rot, rot_rate = camera_path_smooth(n_frames)
+        cfg = base_sys.SlamConfig(
+            cam_params=K4, image_hw=HW, min_init_matches=80,
+            max_frames_between_kf=6, ba_caps=(24, 4096, 16384))
+        icfg = inertial_system.InertialConfig(
+            imu_freq=IMU_HZ, init_time_s=1.5, init_min_kfs=5)
+        sys1 = inertial_system.InertialSystem(cfg, icfg)
+        _drive(sys1, world, frames, pos, acc, rot, rot_rate, 0, n_cut)
+        assert sys1.imu_initialized, "IMU init never ran before the cut"
+        assert sys1.n_resets == 0
+        path = str(tmp_path / "vi_session.npz")
+        checkpoint.save_system(path, sys1)
+
+        sys2 = inertial_system.InertialSystem(cfg, icfg)
+        checkpoint.load_system(path, sys2)
+        # IMU state survived: no scale re-initialization on resume
+        assert sys2.imu_initialized
+        assert sys2.viba1_done == sys1.viba1_done
+        assert len(sys2.preint_raw) == len(sys1.preint_raw)
+        assert sys2.preint_kf_pairs == sys1.preint_kf_pairs
+        np.testing.assert_allclose(np.asarray(sys2.bias),
+                                   np.asarray(sys1.bias), atol=1e-6)
+        # replayed factors match the saved chain's total integration time
+        dT1 = sum(float(p.dT) for p in sys1.preints)
+        dT2 = sum(float(p.dT) for p in sys2.preints)
+        assert abs(dT1 - dT2) < 1e-4
+        sys2.frame_id = sys1.frame_id
+        sys2.last_kf_id = sys1.last_kf_id
+
+        _drive(sys2, world, frames, pos, acc, rot, rot_rate,
+               n_cut, n_frames)
+        assert sys2.n_resets == 0, "restored session lost tracking"
+        assert sys2.state == base_sys.OK
+        assert sys2.imu_initialized
+        # the continued segment must be metric WITHOUT re-running the
+        # inertial init: scale-aligned fit must find scale ~ 1
+        est = np.stack([p[2] for p in sys2.trajectory])
+        ts_used = [p[0] for p in sys2.trajectory]
+        gt = np.stack([pos(t) for t in ts_used])
+        rmse_s, s, _, _ = align.ate_rmse(jnp.asarray(est),
+                                         jnp.asarray(gt), with_scale=True)
+        assert abs(float(s) - 1.0) < 0.12, \
+            f"restored map lost metric scale: {float(s)}"
+        assert float(rmse_s) < 0.12, float(rmse_s)

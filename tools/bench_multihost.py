@@ -80,7 +80,7 @@ def worker(args):
     dprob = dist_ba.partition_problem(prob, n_shards)
     run = lambda: dist_ba.dist_bundle_adjust(
         prob=dprob, mesh=mesh, cam_model="pinhole", cam_params=K4,
-        iterations=args.iters)
+        iterations=args.iters, comm=args.comm)
     jax.block_until_ready(run())              # compile
     t0 = time.perf_counter()
     for _ in range(3):
@@ -92,6 +92,7 @@ def worker(args):
             "n_processes": jax.process_count(),
             "n_shards": n_shards,
             "obs_total": O,
+            "comm": args.comm,
             "ms_per_lm_iter": round(dt * 1000, 2),
         }), flush=True)
 
@@ -235,7 +236,8 @@ def _forward_args(args):
     return ["--cams", str(args.cams),
             "--pts-per-shard", str(args.pts_per_shard),
             "--obs-per-shard", str(args.obs_per_shard),
-            "--iters", str(args.iters)]
+            "--iters", str(args.iters),
+            "--comm", args.comm]
 
 
 def main():
@@ -247,6 +249,11 @@ def main():
     ap.add_argument("--pts-per-shard", type=int, default=2048)
     ap.add_argument("--obs-per-shard", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--comm", default="dense",
+                    choices=("dense", "camshard", "matvec"),
+                    help="collective scheme: dense = 2 collectives/LM "
+                         "iter (DCN default); matvec = r3 per-matvec "
+                         "psum; camshard = KF-block-sharded rows")
     ap.add_argument("--pin-cores", action="store_true",
                     help="taskset each worker to its own core span "
                          "(procs * dev_per_proc must be <= nproc)")
