@@ -75,6 +75,53 @@ def euroc_stereo_rectified(**overrides):
     return cfg, scfg, map0, map1
 
 
+def euroc_stereo_inertial(**overrides):
+    """EuRoC stereo-inertial (reference Examples/Stereo-Inertial EuRoC
+    configuration): RAW cam0/cam1 through calibration-derived
+    rectification + IMU with fixed-scale inertial init.
+
+    Returns (cfg, icfg, scfg, map0, map1); Tbc in icfg is composed with
+    the left rectifying rotation (body <- RECTIFIED left camera), same
+    construction as tumvi_stereo_inertial.
+    """
+    import numpy as np
+
+    from .io import rectify
+
+    c0, c1 = euroc_io.EUROC_CAM0, euroc_io.EUROC_CAM1
+    R, t = rectify.relative_pose_from_body(c0["T_BS"], c1["T_BS"])
+    map0, map1, new_k4, baseline, R1, _ = rectify.stereo_rectify(
+        c0["params"], c0["distortion"], c1["params"], c1["distortion"],
+        R, t, c0["resolution"])
+    cfg = euroc_mono(cam_params=new_k4,
+                     stereo_bf=new_k4[0] * baseline, **overrides)
+    T_rc = np.eye(4)
+    T_rc[:3, :3] = np.asarray(R1, np.float64).T
+    Tbc = euroc_io.EUROC_IMU["Tbc"] @ T_rc
+    imu = euroc_io.EUROC_IMU
+    icfg = inertial_system.InertialConfig(
+        imu_freq=imu["rate_hz"],
+        noise_gyro=imu["noise_gyro"], noise_acc=imu["noise_acc"],
+        walk_gyro=imu["walk_gyro"], walk_acc=imu["walk_acc"],
+        Tbc=tuple(Tbc.reshape(-1).tolist()),
+        init_time_s=2.0, init_min_kfs=6)
+    scfg = stereo_system.StereoConfig(baseline=baseline)
+    return cfg, icfg, scfg, map0, map1
+
+
+def euroc_rgbd(baseline: float = 0.08, **overrides):
+    """RGB-D on EuRoC-style calibration (undistorted cam0 pinhole +
+    aligned metric depth).  The virtual-rig baseline sets the ur
+    residual's scale sensitivity only (reference reads Camera.bf from
+    the RGB-D yaml — Frame::ComputeStereoFromRGBD).
+
+    Returns (cfg, scfg)."""
+    cam = euroc_io.EUROC_CAM0
+    cfg = euroc_mono(stereo_bf=cam["params"][0] * baseline, **overrides)
+    scfg = stereo_system.StereoConfig(baseline=baseline)
+    return cfg, scfg
+
+
 def tumvi_mono(**overrides) -> base_sys.SlamConfig:
     """TUM-VI room (fisheye Kannala-Brandt, 512x512)."""
     cam = euroc_io.TUMVI_CAM0

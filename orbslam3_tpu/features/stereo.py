@@ -51,6 +51,82 @@ def stereo_match(ff_l, ff_r, fx: float, baseline: float,
                        depth=jnp.where(ok, depth, 0.0), valid=ok)
 
 
+class FisheyeStereo(NamedTuple):
+    """Direct fisheye-pair triangulation output (left-camera frame)."""
+    X: jnp.ndarray       # (N, 3) triangulated point per LEFT keypoint
+    depth: jnp.ndarray   # (N,) left-camera z (0 if none)
+    ridx: jnp.ndarray    # (N,) matched right keypoint index (-1 none)
+    valid: jnp.ndarray   # (N,) bool
+
+
+def fisheye_stereo_match(ff_l, ff_r, params_l, params_r, R_rl, t_rl,
+                         epipolar_th: float = 6e-3,
+                         min_depth: float = 0.1, max_depth: float = 40.0,
+                         max_parallax_cos: float = 0.9998,
+                         reproj_chi2: float = 5.991,
+                         scale_factor: float = 1.2,
+                         cam_model: str = "kb8") -> FisheyeStereo:
+    """Direct RAW-fisheye stereo: descriptor matching gated by the
+    bearing-space epipolar constraint, then ray-pair triangulation with
+    the factory extrinsic (reference KannalaBrandt8::TriangulateMatches,
+    /root/reference/src/CameraModels/KannalaBrandt8.cpp:219,306 — the
+    upstream path for NON-rectified KB8 rigs).  Unlike the rectified
+    pipeline (config.tumvi_stereo_inertial), no virtual-pinhole FOV crop
+    is applied, so the fisheye periphery the reference keeps survives.
+
+    Acceptance mirrors the reference's checks: epipolar residual, ray
+    parallax (cosParallaxRays < 0.9998), positive depth in BOTH cameras,
+    and reprojection chi2 in BOTH images against the octave noise model.
+
+    R_rl, t_rl: right <- left camera transform (x_r = R_rl x_l + t_rl).
+    """
+    from ..ops import cameras, lie, triangulate
+
+    b_l = cameras.unproject(cam_model, params_l, ff_l.xy)
+    b_r = cameras.unproject(cam_model, params_r, ff_r.xy)
+    b_l = b_l / jnp.maximum(jnp.linalg.norm(b_l, axis=-1, keepdims=True),
+                            1e-9)
+    b_r = b_r / jnp.maximum(jnp.linalg.norm(b_r, axis=-1, keepdims=True),
+                            1e-9)
+    # essential-matrix epipolar gate on unit bearings
+    E = jnp.matmul(lie.hat(t_rl), R_rl,
+                   precision=jax.lax.Precision.HIGHEST)
+    Ebl = jnp.einsum("ij,nj->ni", E, b_l,
+                     precision=jax.lax.Precision.HIGHEST)
+    res = jnp.abs(jnp.einsum("mi,ni->nm", b_r, Ebl,
+                             precision=jax.lax.Precision.HIGHEST))
+    mask = (res < epipolar_th) & ff_l.valid[:, None] & ff_r.valid[None, :]
+    mask &= jnp.abs(ff_l.octave[:, None] - ff_r.octave[None, :]) <= 1
+    mm = matching.match_nn(ff_l.desc, ff_r.desc, mask,
+                           max_dist=matching.TH_HIGH, nn_ratio=0.9)
+    j = jnp.maximum(mm.idx, 0)
+    br_m = b_r[j]
+    # parallax: rotate the right bearing into the left frame
+    br_in_l = jnp.einsum("ji,nj->ni", R_rl, br_m,
+                         precision=jax.lax.Precision.HIGHEST)
+    cos_par = jnp.sum(b_l * br_in_l, axis=-1)
+    # triangulate: left cam at identity, right cam at (R_rl, t_rl)
+    X = triangulate.triangulate_dlt(
+        b_l, br_m, jnp.eye(3), jnp.zeros(3), R_rl, t_rl)
+    z_l = X[:, 2]
+    Xr = jnp.einsum("ij,nj->ni", R_rl, X,
+                    precision=jax.lax.Precision.HIGHEST) + t_rl
+    # reprojection chi2 in both images (octave noise model)
+    uv_l = cameras.project(cam_model, params_l, X)
+    uv_r = cameras.project(cam_model, params_r, Xr)
+    s2 = scale_factor ** (2.0 * ff_l.octave.astype(jnp.float32))
+    e_l = jnp.sum((uv_l - ff_l.xy) ** 2, axis=-1) / s2
+    e_r = jnp.sum((uv_r - ff_r.xy[j]) ** 2, axis=-1) / s2
+    ok = mm.valid & (cos_par < max_parallax_cos) & \
+        (z_l > min_depth) & (z_l < max_depth) & (Xr[:, 2] > 0) & \
+        (e_l < reproj_chi2) & (e_r < reproj_chi2)
+    return FisheyeStereo(
+        X=jnp.where(ok[:, None], X, 0.0),
+        depth=jnp.where(ok, z_l, 0.0),
+        ridx=jnp.where(ok, jnp.maximum(mm.idx, 0), -1),
+        valid=ok)
+
+
 def refine_disparity(img_l: jnp.ndarray, img_r: jnp.ndarray,
                      xy_l: jnp.ndarray, d: StereoDepth,
                      fx: float, baseline: float,

@@ -558,6 +558,7 @@ class InertialSystem(base.System):
             self.R_prev, self.t_prev = self.R_cur, self.t_cur
             self.R_cur, self.t_cur = out.R_cur, out.t_cur
             self.has_velocity = True
+            self.last_kp_pt = out.kp_pt   # viewer FrameDrawer overlay
             self.vel = out.vel
             self.last_body = (out.Rwb, out.pwb)
             if vi_ok:

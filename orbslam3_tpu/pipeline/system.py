@@ -670,8 +670,11 @@ class System:
             out = (Rwc, twc)
         if self.viewer is not None:
             # live viewer (reference Viewer.cc camera-follow + step
-            # mode): publish a snapshot, then honor pause/step gating
+            # mode): publish a snapshot + the annotated tracked frame
+            # (FrameDrawer parity), then honor pause/step gating
             self.viewer.publish(self)
+            self.viewer.publish_frame(img, ff,
+                                      getattr(self, "last_kp_pt", None))
             self.viewer.wait_if_paused()
         return self.state, out
 
@@ -813,6 +816,7 @@ class System:
         self.R_prev, self.t_prev = self.R_cur, self.t_cur
         self.R_cur, self.t_cur = tr.R, tr.t
         self.has_velocity = True
+        self.last_kp_pt = tr.kp_pt     # viewer FrameDrawer overlay
 
         # keyframe decision (reference src/Tracking.cc:985-1005);
         # localization-only mode never inserts (reference

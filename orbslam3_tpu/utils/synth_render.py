@@ -50,6 +50,50 @@ def voronoi_texture(rng: np.random.Generator, size: int = 1024,
     return np.clip(30.0 + 195.0 * (out + speck), 0, 255).astype(np.float32)
 
 
+def stripe_texture(rng: np.random.Generator, size: int = 1024,
+                   n_orient: int = 4) -> np.ndarray:
+    """Superposed oriented gratings, thresholded: long oblique edges and
+    X-junctions with strong orientation statistics — a texture family
+    disjoint from both block (axis-aligned) and voronoi (isotropic
+    cells).  Exercises the vocabulary on edge-dominated descriptors."""
+    u, v = np.meshgrid(np.arange(size, dtype=np.float32),
+                       np.arange(size, dtype=np.float32))
+    acc = np.zeros((size, size), np.float32)
+    for _ in range(n_orient):
+        th = rng.uniform(0, np.pi)
+        f = rng.uniform(0.02, 0.10)
+        acc += np.sin(2 * np.pi * f * (u * np.cos(th) + v * np.sin(th)) +
+                      rng.uniform(0, 6.28)).astype(np.float32)
+    lvl = np.digitize(acc, np.quantile(acc, [0.25, 0.5, 0.75]))
+    speck = rng.uniform(-0.06, 0.06, (size, size)).astype(np.float32)
+    return np.clip(30.0 + 195.0 * (lvl / 3.0 + speck), 0,
+                   255).astype(np.float32)
+
+
+def blob_texture(rng: np.random.Generator, size: int = 1024,
+                 n_blobs: int = 350) -> np.ndarray:
+    """Soft Gaussian blobs over a mid-gray field: curved boundaries and
+    low-contrast gradients (the hardest regime for FAST/BRIEF) — a
+    fourth texture family for place-recognition stress."""
+    out = np.full((size, size), 0.5, np.float32)
+    ys = rng.uniform(0, size, n_blobs)
+    xs_ = rng.uniform(0, size, n_blobs)
+    sig = rng.uniform(6, 40, n_blobs)
+    amp = rng.uniform(-0.5, 0.5, n_blobs)
+    grid = np.arange(size, dtype=np.float32)
+    for i in range(n_blobs):
+        r = int(3 * sig[i])
+        y0, x0 = int(ys[i]), int(xs_[i])
+        ys_l = slice(max(y0 - r, 0), min(y0 + r, size))
+        xs_l = slice(max(x0 - r, 0), min(x0 + r, size))
+        gy = np.exp(-0.5 * ((grid[ys_l] - ys[i]) / sig[i]) ** 2)
+        gx = np.exp(-0.5 * ((grid[xs_l] - xs_[i]) / sig[i]) ** 2)
+        out[ys_l, xs_l] += amp[i] * gy[:, None] * gx[None, :]
+    speck = rng.uniform(-0.05, 0.05, (size, size)).astype(np.float32)
+    return np.clip(30.0 + 195.0 * np.clip(out + speck, 0, 1), 0,
+                   255).astype(np.float32)
+
+
 def default_mesas(rng: np.random.Generator, n: int = 24,
                   area: float = 10.0) -> tuple:
     """Random elevated textured rectangles toward the camera (negative z).

@@ -48,6 +48,8 @@ canvas { display:block; }
  <span id="stats"></span>
 </div>
 <canvas id="c"></canvas>
+<img id="fr" style="position:fixed; right:8px; top:42px; max-width:38%;
+ border:1px solid #333; image-rendering:pixelated;">
 <script>
 let cv = document.getElementById('c'), cx = cv.getContext('2d');
 let scale = 60, ox = 0, oy = 0, follow = true, side = false, st = null;
@@ -73,6 +75,8 @@ async function tick() {
     let r = await fetch('/state.json'); st = await r.json();
   } catch (e) {}
   if (st) draw();
+  // tracked-frame overlay stream (FrameDrawer analogue)
+  document.getElementById('fr').src = '/frame.png?t=' + Date.now();
   setTimeout(tick, 120);
 }
 function draw() {
@@ -113,9 +117,12 @@ class ViewerServer:
     """Threaded HTTP viewer with tracking-loop gating (pause/step)."""
 
     def __init__(self, port: int = 8765, max_points: int = 4096,
-                 traj_tail: int = 2000):
+                 traj_tail: int = 2000, frame_every: int = 3):
         self.max_points = max_points
         self.traj_tail = traj_tail
+        self.frame_every = frame_every
+        self._frame_png = None
+        self._frame_n = 0
         self._lock = threading.Lock()
         self._state_json = b'{"points":[],"traj":[],"kfs":[],"cam":null,' \
                            b'"frame":0,"state":0,"n_kf":0,"n_pts":0,' \
@@ -132,6 +139,9 @@ class ViewerServer:
                 if self.path.startswith("/state.json"):
                     body = viewer._state_json
                     ctype = "application/json"
+                elif self.path.startswith("/frame.png"):
+                    body = viewer._frame_png or b""
+                    ctype = "image/png"
                 elif self.path.startswith("/control"):
                     cmd = self.path.split("cmd=")[-1]
                     viewer.control(cmd)
@@ -212,6 +222,47 @@ class ViewerServer:
         }
         with self._lock:
             self._state_json = json.dumps(state).encode()
+
+    def publish_frame(self, img, ff=None, kp_pt=None) -> None:
+        """Annotated tracked-image stream (reference FrameDrawer::
+        DrawFrame, src/FrameDrawer.cc:40,343: current frame with
+        keypoint overlay — green = bound to a map point, blue =
+        unbound).  Downsampled 2x, PNG-encoded at `frame_every`
+        cadence; the browser shows it beside the map.  `img` may be a
+        device array (one small pull at viewer cadence only)."""
+        if img is None:
+            return
+        self._frame_n += 1
+        if (self._frame_n - 1) % max(self.frame_every, 1):
+            return
+        import io
+
+        from PIL import Image
+        g = np.asarray(img)
+        if g.ndim == 3:
+            g = g[..., 0]
+        g = np.clip(g[::2, ::2], 0, 255).astype(np.uint8)
+        rgb = np.stack([g, g, g], -1)
+        if ff is not None:
+            xy = (np.asarray(ff.xy) * 0.5).astype(np.int32)
+            valid = np.asarray(ff.valid)
+            bound = np.asarray(kp_pt) >= 0 if kp_pt is not None else \
+                np.zeros(len(valid), bool)
+            H, W = g.shape
+            for color, sel in (((80, 140, 255), valid & ~bound),
+                               ((40, 230, 90), valid & bound)):
+                pts = xy[sel]
+                pts = pts[(pts[:, 0] >= 1) & (pts[:, 0] < W - 1) &
+                          (pts[:, 1] >= 1) & (pts[:, 1] < H - 1)]
+                for du in (-1, 0, 1):
+                    for dv in (-1, 0, 1):
+                        if du == 0 and dv == 0:
+                            continue   # ring, keep the center pixel
+                        rgb[pts[:, 1] + dv, pts[:, 0] + du] = color
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "PNG")
+        with self._lock:
+            self._frame_png = buf.getvalue()
 
     def stop(self) -> None:
         self.httpd.shutdown()

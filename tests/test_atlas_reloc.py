@@ -236,6 +236,9 @@ class TestRelocCandidateRule:
             sys_.kf_bindings[int(kk)] = jnp.asarray(np.concatenate(
                 [np.asarray(ptk), np.full(N_KP - n_desc, -1)]
             ).astype(np.int32))
+            # mirror into the device bank (the batched reloc program
+            # gathers candidate features from it)
+            sys_._bank_store(int(kk), ffk, sys_.kf_bindings[int(kk)])
             lc.add_keyframe(m, int(kk), ffk)
 
         # the TRUE place keyframe (rank 4 by score)
@@ -251,6 +254,7 @@ class TestRelocCandidateRule:
         sys_.kf_bindings[int(kt)] = jnp.asarray(np.concatenate(
             [np.asarray(pt_t), np.full(N_KP - n_desc, -1)]
         ).astype(np.int32))
+        sys_._bank_store(int(kt), ff_t, sys_.kf_bindings[int(kt)])
         lc.add_keyframe(m, int(kt), ff_t)
         sys_.map = m
 

@@ -24,7 +24,10 @@ def main():
     ap.add_argument("sequence")
     ap.add_argument("--mode", default="mono",
                     choices=["mono", "mono-inertial", "stereo",
-                             "stereo-inertial"])
+                             "stereo-inertial", "rgbd"])
+    ap.add_argument("--depth-scale", type=float, default=5000.0,
+                    help="rgbd: raw 16-bit depth units per meter "
+                         "(TUM-RGBD convention 5000)")
     ap.add_argument("--dataset", default="euroc",
                     choices=["euroc", "tumvi"],
                     help="calibration preset family (tumvi = 512x512 "
@@ -65,15 +68,22 @@ def main():
                      else presets.euroc_mono_inertial)(orb=orb)
         sys_ = inertial_system.InertialSystem(cfg, icfg)
     elif args.mode == "stereo-inertial":
-        # the flagship TUM-VI fisheye configuration: KB8 pair rectified
-        # to a shared virtual pinhole, fixed-scale inertial init
-        if not tumvi:
-            ap.error("--mode stereo-inertial requires --dataset tumvi")
+        # KB8 fisheye pair (TUM-VI) or radtan pair (EuRoC) rectified to
+        # a shared virtual pinhole, fixed-scale inertial init
         from orbslam3_tpu.pipeline import stereo_inertial_system
-        cfg, icfg, scfg, map0, map1 = presets.tumvi_stereo_inertial(orb=orb)
+        mk = presets.tumvi_stereo_inertial if tumvi \
+            else presets.euroc_stereo_inertial
+        cfg, icfg, scfg, map0, map1 = mk(orb=orb)
         sys_ = stereo_inertial_system.StereoInertialSystem(cfg, icfg, scfg)
         maps = [map0, map1]
         seq_r = euroc.EurocSequence(args.sequence, cam="cam1")
+    elif args.mode == "rgbd":
+        # aligned metric depth in mav0/depth0/data/<ts>.png (16-bit,
+        # depth_scale units per meter); RGB undistorted like mono
+        from orbslam3_tpu.pipeline import rgbd_system
+        cfg, scfg = presets.euroc_rgbd(orb=orb)
+        sys_ = rgbd_system.RGBDSystem(cfg, scfg)
+        seq_d = euroc.EurocSequence(args.sequence, cam="depth0")
     else:
         # RAW cam0+cam1 through calibration-derived rectification maps
         cfg, scfg, map0, map1 = presets.euroc_stereo_rectified(orb=orb)
@@ -119,6 +129,19 @@ def main():
             state, pose = sys_.track_stereo(
                 jnp.asarray(fr.image), jnp.asarray(next(right)), fr.ts)
             i = fr.index
+            if i % 100 == 0:
+                print(f"frame {i}/{n} state={state} kf={sys_.n_kf_host} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+    elif args.mode == "rgbd":
+        from PIL import Image
+        left = make_stream(seq, maps[0])
+        for i in range(n):
+            rec = seq.images[i]
+            depth = np.asarray(
+                Image.open(seq_d.images[i].path),
+                dtype=np.float32) / args.depth_scale
+            state, pose = sys_.track_rgbd(
+                jnp.asarray(next(left)), depth, rec.ts)
             if i % 100 == 0:
                 print(f"frame {i}/{n} state={state} kf={sys_.n_kf_host} "
                       f"({time.time() - t0:.0f}s)", flush=True)

@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-P_PLACES = 256
-MAP_SIZES = (32, 64, 128, 256)
+P_PLACES = int(os.environ.get("RECALL_PLACES", 256))
+MAP_SIZES = tuple(int(x) for x in os.environ.get(
+    "RECALL_SIZES", "32,64,128,256").split(","))
 
 
 def main(cpu: bool = False, vocabs=(4096, 32768)):
@@ -45,13 +46,16 @@ def main(cpu: bool = False, vocabs=(4096, 32768)):
     K4 = np.asarray([458.654, 457.296, 367.215, 248.375], np.float32)
     hw = (480, 752)
 
-    # texture pool: 4 instances x 2 families, reused by 256 places ->
-    # every texture instance backs 32 places (heavy aliasing)
+    # texture pool: 4 instances x 4 families (block / voronoi / stripe
+    # / blob — VERDICT r4 weak #5 wants cross-family impostors), reused
+    # by all places -> every texture instance backs P/16 places
     pool = []
     for k in range(4):
         pool.append(sr.block_texture(rng, block=int(rng.integers(6, 11))))
         pool.append(sr.voronoi_texture(rng,
                                        n_seeds=int(rng.integers(200, 420))))
+        pool.append(sr.stripe_texture(rng))
+        pool.append(sr.blob_texture(rng))
 
     t0 = time.time()
     db_desc, db_valid, q_desc, q_valid = [], [], [], []
