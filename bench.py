@@ -294,23 +294,15 @@ def bench_full_inertial(jax, jnp):
     for n, i in enumerate(range(warmup, warmup + measure)):
         t1, t0 = i / FPS, (i - 1) / FPS
         take = [s for s in imu_all if t0 < s[0] <= t1]
-        steps = inertial_system.reference_imu_steps(
-            [(t, w, a) for (t, w, a) in take], t0, t1)
+        steps = inertial_system.reference_imu_steps(take, t0, t1)
         packed = np.zeros((capF + capK, 8), np.float32)
-        nF = min(len(steps[0]), capF)
-        packed[:nF, 0:3], packed[:nF, 3:6], packed[:nF, 6] = \
-            steps[0][:nF], steps[1][:nF], steps[2][:nF]
-        packed[:nF, 7] = 1.0
+        packed[:capF] = inertial_system.pack_imu_rows(steps, capF)
         after_kf = (n > 0 and kf_sched[n - 1])
         if after_kf:     # LastKeyFrame frame: since-KF rows
             takeK = [s for s in imu_all if prev_kf_ts < s[0] <= t1]
             stepsK = inertial_system.reference_imu_steps(
                 takeK, prev_kf_ts, t1)
-            nK = min(len(stepsK[0]), capK)
-            packed[capF:capF + nK, 0:3] = stepsK[0][:nK]
-            packed[capF:capF + nK, 3:6] = stepsK[1][:nK]
-            packed[capF:capF + nK, 6] = stepsK[2][:nK]
-            packed[capF:capF + nK, 7] = 1.0
+            packed[capF:] = inertial_system.pack_imu_rows(stepsK, capK)
         ki_at = ki_host + kf_count - 1
         sc_dev.append(jnp.asarray(np.asarray(
             [12.0 if after_kf else 4.0, cfg.min_track_inliers,

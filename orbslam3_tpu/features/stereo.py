@@ -79,6 +79,14 @@ def fisheye_stereo_match(ff_l, ff_r, params_l, params_r, R_rl, t_rl,
     and reprojection chi2 in BOTH images against the octave noise model.
 
     R_rl, t_rl: right <- left camera transform (x_r = R_rl x_l + t_rl).
+
+    Scope: the FORWARD hemisphere (bearing z > ~0.05, polar angle up to
+    ~87 deg off-axis).  The inhomogeneous DLT normalizes rays by z, so
+    the band a >=180-deg lens sees BEYOND 90 deg cannot triangulate
+    here (it would need the homogeneous SVD path); such bearings are
+    masked out of the match rather than fed to a division by ~0.  The
+    rectified pipeline's crop is ~45-55 deg, so the direct path still
+    recovers a wide periphery band the crop discards.
     """
     from ..ops import cameras, lie, triangulate
 
@@ -95,7 +103,12 @@ def fisheye_stereo_match(ff_l, ff_r, params_l, params_r, R_rl, t_rl,
                      precision=jax.lax.Precision.HIGHEST)
     res = jnp.abs(jnp.einsum("mi,ni->nm", b_r, Ebl,
                              precision=jax.lax.Precision.HIGHEST))
-    mask = (res < epipolar_th) & ff_l.valid[:, None] & ff_r.valid[None, :]
+    # forward-hemisphere gate (see docstring): z-normalized DLT rows
+    # blow up as bearing z -> 0, so exclude near/behind-90-deg bearings
+    # from matching instead of producing inf/NaN triangulations
+    fwd = (b_l[:, None, 2] > 0.05) & (b_r[None, :, 2] > 0.05)
+    mask = fwd & (res < epipolar_th) & \
+        ff_l.valid[:, None] & ff_r.valid[None, :]
     mask &= jnp.abs(ff_l.octave[:, None] - ff_r.octave[None, :]) <= 1
     mm = matching.match_nn(ff_l.desc, ff_r.desc, mask,
                            max_dist=matching.TH_HIGH, nn_ratio=0.9)

@@ -148,7 +148,7 @@ def dist_bundle_adjust(prob: BAProblem, mesh: Mesh, axis: str = "shard",
     scheme issued ~35 collectives per LM iteration, a >=157 ms/iter
     latency floor at Gloo's ~4.5 ms/psum that capped 2-process scaling
     at 0.26-0.28):
-      * "dense"    — communication-avoiding (default): each shard
+      * "dense"    — communication-avoiding: each shard
         assembles its dense reduced-system contribution (G G^T over its
         own point block), ONE batched psum per LM iteration ships
         {S_off, Hcc, bc, rv, cost} together, and the (6K)^2 reduced

@@ -96,6 +96,21 @@ def reference_imu_steps(take, t0: float, t1: float, nxt=None):
     return acc, gyr, dts
 
 
+def pack_imu_rows(steps, cap: int) -> np.ndarray:
+    """Marshal integration steps (acc (n,3), gyr (n,3), dts (n,)) into
+    the fused tracked-frame program's packed row layout
+    [acc(3) gyr(3) dt ok], truncated/padded to `cap` rows.  The ONE
+    place the layout lives — _interval_rows, _since_kf_rows and the
+    bench's staging all consume it."""
+    acc, gyr, dts = steps
+    n = min(acc.shape[0], cap)
+    packed = np.zeros((cap, 8), np.float32)
+    packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
+        acc[:n], gyr[:n], dts[:n]
+    packed[:n, 7] = 1.0
+    return packed
+
+
 @dataclasses.dataclass(frozen=True)
 class InertialConfig:
     imu_freq: float = 200.0
@@ -481,13 +496,7 @@ class InertialSystem(base.System):
         if not take:
             return None
         steps = reference_imu_steps(take, t0, t1, nxt)
-        cap = self.icfg.max_imu_per_frame
-        n = min(steps[0].shape[0], cap)
-        packed = np.zeros((cap, 8), np.float32)
-        packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
-            steps[0][:n], steps[1][:n], steps[2][:n]
-        packed[:n, 7] = 1.0
-        return packed
+        return pack_imu_rows(steps, self.icfg.max_imu_per_frame)
 
     # -------------------------------------------------------------- tracking
     def _track_frame(self, ff, ts):
@@ -680,13 +689,7 @@ class InertialSystem(base.System):
             return None
         nxt = next((s for s in self.kf_imu_buffer if s[0] > ts_now), None)
         steps = reference_imu_steps(take, kf_ts, ts_now, nxt)
-        cap = self.icfg.max_imu_per_frame * 16
-        n = min(steps[0].shape[0], cap)
-        packed = np.zeros((cap, 8), np.float32)
-        packed[:n, 0:3], packed[:n, 3:6], packed[:n, 6] = \
-            steps[0][:n], steps[1][:n], steps[2][:n]
-        packed[:n, 7] = 1.0
-        return packed
+        return pack_imu_rows(steps, self.icfg.max_imu_per_frame * 16)
 
     def _factor_capacity(self, n: int) -> int:
         """Bucket a factor count to the next power of two (clamped to

@@ -101,13 +101,15 @@ def build_essential_graph(m: mapstate.MapState, min_covis: int = 100,
 
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
-    # 32k words: the recall study (tools/vocab_recall_curve.py, curve in
-    # BASELINE.md) shows 4096 words collapse on aliased worlds at 256-KF
-    # capacity (recall@1 0.53, negative true/impostor margin) while 32k
-    # holds 0.92/0.98 — the flat-codebook analogue of the reference's
-    # 1M-leaf DBoW2 tree at MXU-friendly scale.  Per-KF BoW assignment
-    # stays one (N,256)@(256,V) popcount matmul (~0.1 ms at V=32k).
-    n_words: int = 32768
+    # 65k words (r5): the pod-scale recall study (tools/
+    # vocab_recall_curve.py, 1024 aliased places over FOUR texture
+    # families, curve in BASELINE.md) shows 65536 words trained on all
+    # four families hold recall@1 0.62 / recall@3 0.80 at a 1024-KF DB
+    # where 32768 fall to 0.50/0.62 — the flat-codebook analogue of the
+    # reference's 1M-leaf DBoW2 tree at MXU-friendly scale.  Per-KF BoW
+    # assignment stays one (N,256)@(256,V) popcount matmul; DB memory is
+    # (K,V) f32 = 64 MB at 256 KFs / 256 MB at pod capacity.
+    n_words: int = 65536
     vocab: str = "trained"          # "trained" (data/vocab_*.npy) | "seed"
     min_common_words: int = 5
     consistency_needed: int = 3     # consecutive consistent detections

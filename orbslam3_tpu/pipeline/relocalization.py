@@ -89,28 +89,33 @@ def attempt_relocalization(system, ff, loop_closer,
     best = float(scores_np[order_np[0]])
     if best <= 0:
         return False, None, None
-    # candidate admission: every KF scoring >= 0.75 * bestScore
+    # candidate admission: EVERY KF scoring >= 0.75 * bestScore
     # (reference DetectRelocalizationCandidates minScoreToRetain,
     # src/KeyFrameDatabase.cc:731) — with aliased places the true
-    # candidate can sit below rank 3; capacity-capped at RELOC_CANDS
-    cand_list = [int(c) for c in order_np[:RELOC_CANDS]
+    # candidate can sit well below rank 3.  Evaluated in batches of
+    # RELOC_CANDS (best-scored first); one program + one decision sync
+    # per batch, and almost every call needs exactly one batch.
+    cand_list = [int(c) for c in order_np
                  if scores_np[c] >= 0.75 * best and
                  system.kf_bindings.get(int(c)) is not None]
     if not cand_list:
         return False, None, None
     C = RELOC_CANDS
-    cand_idx = np.zeros(C, np.int32)
-    cand_ok = np.zeros(C, bool)
-    cand_idx[:len(cand_list)] = cand_list
-    cand_ok[:len(cand_list)] = True
-    good, n_inl, R_all, t_all = _reloc_batch(
-        m, system.bank, ff, jnp.asarray(cand_idx), jnp.asarray(cand_ok),
-        jax.random.PRNGKey(system.frame_id), system.cam_params,
-        system.cfg.cam_model, system.cfg.orb.scale_factor,
-        system.cfg.orb.n_levels, min_inliers)
-    # sync 2: the winner decision (one small pull for the whole batch)
-    good_np, n_np = np.asarray(good), np.asarray(n_inl)
-    if not good_np.any():
-        return False, None, None
-    w = int(np.argmax(np.where(good_np, n_np, -1)))
-    return True, R_all[w], t_all[w]
+    for lo in range(0, len(cand_list), C):
+        batch = cand_list[lo:lo + C]
+        cand_idx = np.zeros(C, np.int32)
+        cand_ok = np.zeros(C, bool)
+        cand_idx[:len(batch)] = batch
+        cand_ok[:len(batch)] = True
+        good, n_inl, R_all, t_all = _reloc_batch(
+            m, system.bank, ff, jnp.asarray(cand_idx),
+            jnp.asarray(cand_ok),
+            jax.random.PRNGKey(system.frame_id + lo), system.cam_params,
+            system.cfg.cam_model, system.cfg.orb.scale_factor,
+            system.cfg.orb.n_levels, min_inliers)
+        # the winner decision (one small pull for the whole batch)
+        good_np, n_np = np.asarray(good), np.asarray(n_inl)
+        if good_np.any():
+            w = int(np.argmax(np.where(good_np, n_np, -1)))
+            return True, R_all[w], t_all[w]
+    return False, None, None

@@ -24,20 +24,12 @@ class StereoInertialSystem(inertial_system.InertialSystem):
                  scfg: stereo_system.StereoConfig):
         super().__init__(config, icfg)
         self.scfg = scfg
-        import jax
-        from ..features import stereo as stereo_mod
-        fx = float(config.cam_params[0])
-        self._stereo_jit = jax.jit(lambda fl, fr: stereo_mod.stereo_match(
-            fl, fr, fx, scfg.baseline,
-            max_depth=scfg.max_depth_factor * scfg.baseline * 3))
-        self._refine_jit = jax.jit(
-            lambda il, ir, xy, d: stereo_mod.refine_disparity(
-                il.astype(jnp.float32), ir.astype(jnp.float32), xy, d,
-                fx, scfg.baseline))
+        stereo_system.StereoSystem._build_stereo_jits(self, config, scfg)
 
     # borrow the stereo front-end pieces
     _stereo_initialize = stereo_system.StereoSystem._stereo_initialize
     _frame_kp_ur = stereo_system.StereoSystem._frame_kp_ur
+    _depth_rays = stereo_system.StereoSystem._depth_rays
 
     def _insert_keyframe(self, ff, tr, ts, n_inl=None):
         super()._insert_keyframe(ff, tr, ts, n_inl=n_inl)

@@ -32,22 +32,63 @@ class StereoConfig:
     baseline: float = 0.11          # EuRoC cam0-cam1 baseline [m]
     min_init_depth_points: int = 100
     max_depth_factor: float = 35.0  # x baseline: "close point" horizon
+    # direct RAW-fisheye stereo (reference KannalaBrandt8::
+    # TriangulateMatches): no rectification, bearing-space epipolar
+    # matching + ray triangulation with the factory extrinsic; keeps the
+    # fisheye periphery the virtual-pinhole rectification crops.  Set
+    # cam_model="kb8" in SlamConfig, stereo_bf=0 (no rectified-row ur
+    # residual — depth-created points + IMU anchor the metric scale)
+    raw_fisheye: bool = False
+    right_cam_params: tuple = ()    # right camera intrinsics (raw mode)
+    T_rl: tuple = ()                # 4x4 row-major right <- left
 
 
 class StereoSystem(base.System):
     def __init__(self, config: base.SlamConfig, scfg: StereoConfig):
         super().__init__(config)
         self.scfg = scfg
+        self._build_stereo_jits(config, scfg)
+
+    def _build_stereo_jits(self, config, scfg):
+        """Depth-association programs; shared with StereoInertialSystem
+        (which inherits InertialSystem, not this class)."""
         fx = float(config.cam_params[0])
-        self._stereo_jit = jax.jit(lambda fl, fr: stereo_mod.stereo_match(
-            fl, fr, fx, scfg.baseline,
-            max_depth=scfg.max_depth_factor * scfg.baseline * 3))
-        # subpixel SAD refinement (Frame::ComputeStereoMatches parity) —
-        # runs when the caller provides pixel data alongside features
-        self._refine_jit = jax.jit(
-            lambda il, ir, xy, d: stereo_mod.refine_disparity(
-                il.astype(jnp.float32), ir.astype(jnp.float32), xy, d,
-                fx, scfg.baseline))
+        if scfg.raw_fisheye:
+            import numpy as _np
+            T = _np.asarray(scfg.T_rl, _np.float64).reshape(4, 4)
+            R_rl = jnp.asarray(T[:3, :3], jnp.float32)
+            t_rl = jnp.asarray(T[:3, 3], jnp.float32)
+            p_r = jnp.asarray(scfg.right_cam_params, jnp.float32)
+            p_l = self.cam_params
+            model = config.cam_model
+
+            @jax.jit
+            def _raw_match(fl, fr):
+                out = stereo_mod.fisheye_stereo_match(
+                    fl, fr, p_l, p_r, R_rl, t_rl,
+                    max_depth=scfg.max_depth_factor * scfg.baseline * 3,
+                    scale_factor=config.orb.scale_factor,
+                    cam_model=model)
+                # no rectified right-u in raw mode: ur stays -1 (mono BA
+                # rows); depth-created points carry the metric scale
+                return stereo_mod.StereoDepth(
+                    ur=jnp.full(out.depth.shape[0], -1.0, jnp.float32),
+                    depth=out.depth, valid=out.valid)
+
+            self._stereo_jit = _raw_match
+            # no row-aligned pair to SAD-refine against in raw mode
+            self._refine_jit = jax.jit(lambda il, ir, xy, d: d)
+        else:
+            self._stereo_jit = jax.jit(
+                lambda fl, fr: stereo_mod.stereo_match(
+                    fl, fr, fx, scfg.baseline,
+                    max_depth=scfg.max_depth_factor * scfg.baseline * 3))
+            # subpixel SAD refinement (Frame::ComputeStereoMatches
+            # parity) — runs when the caller provides pixel data
+            self._refine_jit = jax.jit(
+                lambda il, ir, xy, d: stereo_mod.refine_disparity(
+                    il.astype(jnp.float32), ir.astype(jnp.float32), xy, d,
+                    fx, scfg.baseline))
 
     # ------------------------------------------------------------------ api
     def track_stereo(self, img_l, img_r, ts: float,
@@ -92,12 +133,9 @@ class StereoSystem(base.System):
         m = mapstate.empty_map(self.cfg.map_capacity)
         m, k0 = mapstate.add_keyframe(m, jnp.eye(3), jnp.zeros(3), ts,
                                       self.frame_id)
-        # unproject with depth
-        cam = self.cam_params
-        rays = jnp.concatenate(
-            [(ff.xy - cam[2:4]) / cam[0:2],
-             jnp.ones((ff.xy.shape[0], 1))], axis=1)
-        X = rays * d.depth[:, None]
+        # unproject with depth (z-normalized model ray * z; pinhole AND
+        # kb8 raw-fisheye both route through the camera dispatch)
+        X = self._depth_rays(ff) * d.depth[:, None]
         ok = d.valid & ff.valid
         dist = jnp.linalg.norm(X, axis=1)
         sf = self.cfg.orb.scale_factor ** ff.octave.astype(jnp.float32)
@@ -130,6 +168,15 @@ class StereoSystem(base.System):
         d = self._depth
         return jnp.where(d.valid, d.ur, -1.0)
 
+    def _depth_rays(self, ff: FeatureFrame) -> jnp.ndarray:
+        """z-normalized camera rays per keypoint for depth unprojection
+        (pinhole closed form == the generic dispatch; kb8 raw mode needs
+        the Newton unprojection)."""
+        from ..ops import cameras
+        rays = cameras.unproject(self.cfg.cam_model, self.cam_params,
+                                 ff.xy)
+        return rays / jnp.maximum(rays[:, 2:3], 1e-6)
+
     # ------------------------------------------------------------- keyframe
     def _insert_keyframe(self, ff: FeatureFrame, tr, ts: float,
                          n_inl: int | None = None):
@@ -145,11 +192,7 @@ class StereoSystem(base.System):
         kp_pt = self.kf_bindings[ki]
         d = self._depth
         free = (kp_pt < 0) & ff.valid & d.valid
-        cam = self.cam_params
-        rays = jnp.concatenate(
-            [(ff.xy - cam[2:4]) / cam[0:2],
-             jnp.ones((ff.xy.shape[0], 1))], axis=1)
-        Xc = rays * d.depth[:, None]
+        Xc = self._depth_rays(ff) * d.depth[:, None]
         Rwc = self.map.kf_R[ki].T
         X = (Xc - self.map.kf_t[ki]) @ self.map.kf_R[ki]  # R^T (Xc - t)
         dist = jnp.linalg.norm(Xc, axis=1)

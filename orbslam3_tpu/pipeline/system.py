@@ -654,6 +654,10 @@ class System:
                 self._prev_frame_ts = ts
                 return self.state, None
         self._prev_frame_ts = ts
+        # cleared every frame: the viewer overlay must never color THIS
+        # frame's keypoints with a PREVIOUS frame's bindings (init /
+        # RECENTLY_LOST frames return before tracking sets it)
+        self.last_kp_pt = None
         ff = features if features is not None else self._extract(img)
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):

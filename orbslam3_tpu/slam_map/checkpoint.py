@@ -72,6 +72,12 @@ def save_system(path: str, system) -> None:
         extras[f"ur_{k}"] = np.asarray(u)
     extras["R_cur"] = np.asarray(system.R_cur)
     extras["t_cur"] = np.asarray(system.t_cur)
+    # frame counters: without them a restored session restarts at
+    # frame_id 0 against a map stamped with large kf_frame_id /
+    # pt_first_frame values — point-culling ages go negative and mature
+    # points lose their "kept permanently" protection
+    extras["frame_id"] = int(system.frame_id)
+    extras["last_kf_id"] = int(system.last_kf_id)
     if hasattr(system, "preint_raw"):      # InertialSystem & subclasses
         extras["inertial"] = {
             "bias": np.asarray(system.bias),
@@ -119,6 +125,8 @@ def load_system(path: str, system) -> None:
     system.t_cur = jnp.asarray(extras["t_cur"])
     system.R_prev, system.t_prev = system.R_cur, system.t_cur
     system.has_velocity = False
+    system.frame_id = int(extras.get("frame_id", system.frame_id))
+    system.last_kf_id = int(extras.get("last_kf_id", system.last_kf_id))
     system.last_kf_idx = int(system.map.n_kf) - 1
     # resync the HOST mirrors (keyframe insertion trusts them — stale
     # zeros would overwrite live keyframe slots on the next insert)

@@ -132,3 +132,103 @@ class TestFisheyeDirectStereo:
         out = stereo_mod.fisheye_stereo_match(
             ff_l, ff_r, p0, p1, jnp.asarray(R), t_bad)
         assert int(np.asarray(out.valid).sum()) < 0.1 * int(keep.sum())
+
+
+class TestRawFisheyeStereoInertialPipeline:
+    def test_pixels_to_metric_trajectory_raw(self):
+        """End-to-end RAW-fisheye stereo-inertial: KB8 pixel pairs with
+        NO rectification (StereoConfig.raw_fisheye) — depth from
+        bearing-space matching + ray triangulation, kb8 projection in
+        tracking/BA, IMU init at fixed scale.  The metric (no-scale-
+        alignment) ATE proves the direct path carries real scale, the
+        full-FOV way the reference does it."""
+        import pytest
+
+        from orbslam3_tpu.ops import align, lie
+        from orbslam3_tpu.pipeline import (inertial_system,
+                                           stereo_inertial_system,
+                                           stereo_system,
+                                           system as base_sys)
+        from orbslam3_tpu.features.extractor import OrbParams
+        from orbslam3_tpu.utils import synth_render as sr
+
+        HW = (384, 384)
+        KB8 = (160.0, 160.0, 192.0, 192.0,
+               0.0035, 0.0007, -0.002, 0.0002)
+        BASELINE = 0.2
+        G_W = np.array([0.0, 0.0, 9.81])
+        FPS, IMU_HZ = 10.0, 200.0
+        rng = np.random.default_rng(12)
+        tex = sr.block_texture(rng, block=10)
+        mesas = tuple((x0, x0 + w, y0, y0 + h, -z)
+                      for x0, y0, w, h, z in
+                      zip(rng.uniform(-2, 5, 10), rng.uniform(-2, 4, 10),
+                          rng.uniform(0.8, 1.6, 10),
+                          rng.uniform(0.8, 1.6, 10),
+                          rng.uniform(0.4, 1.0, 10)))
+        R_rel = np.asarray(lie.exp_so3(jnp.asarray([0.004, -0.006,
+                                                    0.003])))
+        t_rel = -R_rel @ np.array([BASELINE, 0.0, 0.0])
+        T_rl = np.eye(4)
+        T_rl[:3, :3] = R_rel
+        T_rl[:3, 3] = t_rel
+
+        cfg = base_sys.SlamConfig(
+            cam_model="kb8", cam_params=KB8, image_hw=HW,
+            orb=OrbParams(n_features=800, n_levels=8),
+            max_frames_between_kf=6, min_init_matches=60,
+            ba_caps=(24, 4096, 16384), stereo_bf=0.0)
+        icfg = inertial_system.InertialConfig(
+            imu_freq=IMU_HZ, init_time_s=1.2, init_min_kfs=4)
+        scfg = stereo_system.StereoConfig(
+            baseline=BASELINE, raw_fisheye=True,
+            right_cam_params=KB8,
+            T_rl=tuple(T_rl.reshape(-1).tolist()))
+        sys_ = stereo_inertial_system.StereoInertialSystem(cfg, icfg,
+                                                           scfg)
+
+        def pos(t):
+            return np.array([0.22 * t + 0.35 * np.sin(0.7 * t),
+                             0.30 * np.sin(1.1 * t),
+                             -3.0 + 0.12 * np.sin(0.9 * t)])
+
+        def acc_w(t):
+            return np.array([-0.35 * 0.49 * np.sin(0.7 * t),
+                             -0.30 * 1.21 * np.sin(1.1 * t),
+                             -0.12 * 0.81 * np.sin(0.9 * t)])
+
+        R_cw = np.eye(3, dtype=np.float64)
+        rays_k = sr.kb8_rays(KB8, HW)
+        n_frames = 70
+        dt_f, dt_i = 1.0 / FPS, 1.0 / IMU_HZ
+        for i in range(n_frames):
+            t_frame = i * dt_f
+            if i > 0:
+                t0 = (i - 1) * dt_f
+                k = 1
+                while t0 + k * dt_i <= t_frame + 1e-9:
+                    tm = t0 + k * dt_i
+                    a_body = R_cw @ (acc_w(tm - 0.5 * dt_i) - G_W)
+                    sys_.grab_imu(tm, np.zeros(3), a_body)
+                    k += 1
+            t_cw_l = -R_cw @ pos(t_frame)
+            R_cw_r = R_rel @ R_cw
+            t_cw_r = R_rel @ t_cw_l + t_rel
+            img_l = sr.render_plane(R_cw, t_cw_l, KB8[:4], HW, tex,
+                                    tex_scale=60.0, mesas=mesas,
+                                    rays=rays_k)
+            img_r = sr.render_plane(R_cw_r, t_cw_r, KB8[:4], HW, tex,
+                                    tex_scale=60.0, mesas=mesas,
+                                    rays=rays_k)
+            sys_.track_stereo(jnp.asarray(img_l), jnp.asarray(img_r),
+                              ts=t_frame)
+        assert sys_.n_resets == 0, sys_.n_resets
+        assert sys_.state == 2, sys_.state     # base_sys.OK
+        assert sys_.imu_initialized
+        est = np.stack([p[2] for p in sys_.trajectory])
+        gt = np.stack([pos(t) for t, _, _ in sys_.trajectory])
+        rmse, s, _, _ = align.ate_rmse(jnp.asarray(est),
+                                       jnp.asarray(gt), with_scale=False)
+        assert float(rmse) < 0.10, float(rmse)
+        _, s2, _, _ = align.ate_rmse(jnp.asarray(est), jnp.asarray(gt))
+        assert abs(float(s2) - 1.0) < 0.05, float(s2)

@@ -68,8 +68,10 @@ class TestInertialCheckpoint:
         dT1 = sum(float(p.dT) for p in sys1.preints)
         dT2 = sum(float(p.dT) for p in sys2.preints)
         assert abs(dT1 - dT2) < 1e-4
-        sys2.frame_id = sys1.frame_id
-        sys2.last_kf_id = sys1.last_kf_id
+        # frame counters ride the checkpoint (a fresh frame_id would
+        # poison point-culling ages against the restored map's stamps)
+        assert sys2.frame_id == sys1.frame_id
+        assert sys2.last_kf_id == sys1.last_kf_id
 
         _drive(sys2, world, frames, pos, acc, rot, rot_rate,
                n_cut, n_frames)

@@ -297,6 +297,9 @@ class TestLoopIntegration:
             ff = make_ff(uv, desc)
             sys_.kf_features[int(kk)] = ff
             sys_.kf_bindings[int(kk)] = pad_binding(pt)
+            # mirror into the device bank (the batched reloc program
+            # gathers candidate features from it)
+            sys_._bank_store(int(kk), ff, sys_.kf_bindings[int(kk)])
             sys_.loop_closer.add_keyframe(m, int(kk), ff)
         sys_.map = m
         # KF2 is a perfect match for its own descriptors before culling

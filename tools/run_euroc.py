@@ -80,6 +80,10 @@ def main():
     elif args.mode == "rgbd":
         # aligned metric depth in mav0/depth0/data/<ts>.png (16-bit,
         # depth_scale units per meter); RGB undistorted like mono
+        if tumvi:
+            ap.error("--mode rgbd uses the EuRoC pinhole preset; "
+                     "--dataset tumvi (raw KB8 fisheye) is not a valid "
+                     "combination")
         from orbslam3_tpu.pipeline import rgbd_system
         cfg, scfg = presets.euroc_rgbd(orb=orb)
         sys_ = rgbd_system.RGBDSystem(cfg, scfg)

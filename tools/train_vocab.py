@@ -50,13 +50,20 @@ def main(n_words: int = 4096, n_views: int = 48, seed: int = 0,
     descs, valids = [], []
     for i in range(n_views):
         if i % 12 == 0:
-            # alternate texture families so the codebook generalizes
-            # (DBoW2's vocabulary is trained on diverse imagery)
-            if (i // 12) % 2 == 0:
+            # rotate through ALL FOUR texture families so the codebook
+            # generalizes (DBoW2's vocabulary is trained on diverse
+            # imagery); stripe/blob added in r5 for the cross-family
+            # impostor regime
+            fam = (i // 12) % 4
+            if fam == 0:
                 tex = sr.block_texture(rng, block=int(rng.integers(5, 12)))
-            else:
+            elif fam == 1:
                 tex = sr.voronoi_texture(rng,
                                          n_seeds=int(rng.integers(180, 500)))
+            elif fam == 2:
+                tex = sr.stripe_texture(rng)
+            else:
+                tex = sr.blob_texture(rng)
         R_cw, t_cw = sr.look_down_pose(
             float(rng.uniform(0, 8)), float(rng.uniform(0, 8)),
             float(rng.uniform(3, 7)), yaw=float(rng.uniform(0, 6.28)),

@@ -30,7 +30,10 @@ MAP_SIZES = tuple(int(x) for x in os.environ.get(
     "RECALL_SIZES", "32,64,128,256").split(","))
 
 
-def main(cpu: bool = False, vocabs=(4096, 32768)):
+def main(cpu: bool = False, vocabs=None):
+    if vocabs is None:
+        vocabs = tuple(int(v) for v in os.environ.get(
+            "RECALL_VOCABS", "4096,32768").split(","))
     import jax
     if cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -46,11 +49,14 @@ def main(cpu: bool = False, vocabs=(4096, 32768)):
     K4 = np.asarray([458.654, 457.296, 367.215, 248.375], np.float32)
     hw = (480, 752)
 
-    # texture pool: 4 instances x 4 families (block / voronoi / stripe
-    # / blob — VERDICT r4 weak #5 wants cross-family impostors), reused
-    # by all places -> every texture instance backs P/16 places
+    # texture pool: POOL/4 instances x 4 families (block / voronoi /
+    # stripe / blob — cross-family impostors), reused by all places.
+    # Default pool keeps the r4 aliasing DENSITY (32 places per texture
+    # instance) constant as the DB scales, so the curve measures DB-size
+    # confusability, not a harder aliasing ratio.
+    n_pool = int(os.environ.get("RECALL_POOL", max(P_PLACES // 32, 8)))
     pool = []
-    for k in range(4):
+    for k in range(max(n_pool // 4, 1)):
         pool.append(sr.block_texture(rng, block=int(rng.integers(6, 11))))
         pool.append(sr.voronoi_texture(rng,
                                        n_seeds=int(rng.integers(200, 420))))
