@@ -370,8 +370,7 @@ def bench_full_inertial(jax, jnp):
                     preints[-capW:], [q[0] for q in pairs[-capW:]],
                     [q[1] for q in pairs[-capW:]], capacity=capW)
                 ki_dev = jnp.asarray(ki_run, jnp.int32)
-                m = m._replace(kf_vel=m.kf_vel.at[ki_run].set(vel),
-                               kf_bias=m.kf_bias.at[ki_run].set(bias))
+                m = sys_._set_kf_vb(m, ki_dev, vel, bias)
                 m = sys_._vi_local_ba(m, ki_dev, f, bank)
                 view = sys_._gather_view(m, ki_dev)
                 ki_run += 1

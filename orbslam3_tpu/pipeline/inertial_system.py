@@ -464,6 +464,18 @@ class InertialSystem(base.System):
 
         self._vi_track_step = _vi_track_step
 
+        @jax.jit
+        def _set_kf_vb(m, ki, vel, bias):
+            """Store the tracker's velocity/bias at the new KF slot.
+            TRACED index: an eager `.at[python_int].set` bakes the index
+            into the executable, so every keyframe was a fresh remote
+            compile (measured as the dominant cost of the bench's
+            inertial KF step before this fix)."""
+            return m._replace(kf_vel=m.kf_vel.at[ki].set(vel),
+                              kf_bias=m.kf_bias.at[ki].set(bias))
+
+        self._set_kf_vb = _set_kf_vb
+
     # ------------------------------------------------------------------ api
     def grab_imu(self, ts: float, gyro, acc):
         self.imu_queue.append((ts, np.asarray(gyro, np.float32),
@@ -640,10 +652,11 @@ class InertialSystem(base.System):
             self.preint_kf_pairs.append((prev_idx, new_idx))
             self.preint_raw.append(raw)
         self._map_updated = True
-        # store velocity/bias in the map
-        self.map = self.map._replace(
-            kf_vel=self.map.kf_vel.at[new_idx].set(self.vel),
-            kf_bias=self.map.kf_bias.at[new_idx].set(self.bias))
+        # store velocity/bias in the map (traced-index jit — see
+        # _set_kf_vb for why not an eager .at[int].set)
+        self.map = self._set_kf_vb(
+            self.map, jnp.asarray(new_idx, jnp.int32), self.vel,
+            self.bias)
         if self.kf_time0 is None:
             self.kf_time0 = ts
         if not self.imu_initialized and \

@@ -187,28 +187,46 @@ class StereoSystem(base.System):
 
     def _stereo_new_points(self, ff: FeatureFrame):
         """Depth-based points for still-unbound keypoints (stereo bonus;
-        reference CreateNewKeyFrame stereo path)."""
+        reference CreateNewKeyFrame stereo path).  One jitted program
+        with a TRACED keyframe index (eager int-indexed gathers were a
+        fresh executable per keyframe)."""
+        if not hasattr(self, "_stereo_new_jit"):
+            cfg = self.cfg
+
+            @jax.jit
+            def _stereo_new(m, bank, ki, ff_, kp_pt, d_ur, d_depth,
+                            d_valid, frame_id):
+                from ..slam_map import feature_bank as fbank
+                free = (kp_pt < 0) & ff_.valid & d_valid
+                Xc = self._depth_rays(ff_) * d_depth[:, None]
+                R_ki, t_ki = m.kf_R[ki], m.kf_t[ki]
+                X = jnp.matmul(Xc - t_ki, m.kf_R[ki],
+                               precision=jax.lax.Precision.HIGHEST)
+                dist = jnp.linalg.norm(Xc, axis=1)
+                sf = cfg.orb.scale_factor ** ff_.octave.astype(
+                    jnp.float32)
+                Ow = -jnp.matmul(R_ki.T, t_ki,
+                                 precision=jax.lax.Precision.HIGHEST)
+                view = X - Ow
+                nrm = view / jnp.maximum(
+                    jnp.linalg.norm(view, axis=1, keepdims=True), 1e-9)
+                m2, pt_idx = mapstate.add_points(
+                    m, X, ff_.desc, nrm,
+                    dist * sf / (cfg.orb.scale_factor **
+                                 (cfg.orb.n_levels - 1)),
+                    dist * sf, ki, frame_id, free)
+                m2 = mapstate.add_observations(
+                    m2, ki, pt_idx, ff_.xy, ff_.octave, free,
+                    ur=jnp.where(d_valid, d_ur, -1.0))
+                kp2 = jnp.where(free, pt_idx, kp_pt)
+                bank2 = fbank.set_binding(bank, ki, kp2)
+                return m2, bank2, kp2
+
+            self._stereo_new_jit = _stereo_new
         ki = self.last_kf_idx
-        kp_pt = self.kf_bindings[ki]
         d = self._depth
-        free = (kp_pt < 0) & ff.valid & d.valid
-        Xc = self._depth_rays(ff) * d.depth[:, None]
-        Rwc = self.map.kf_R[ki].T
-        X = (Xc - self.map.kf_t[ki]) @ self.map.kf_R[ki]  # R^T (Xc - t)
-        dist = jnp.linalg.norm(Xc, axis=1)
-        sf = self.cfg.orb.scale_factor ** ff.octave.astype(jnp.float32)
-        Ow = -Rwc @ self.map.kf_t[ki]
-        view = X - Ow
-        nrm = view / jnp.maximum(jnp.linalg.norm(view, axis=1,
-                                                 keepdims=True), 1e-9)
-        m, pt_idx = mapstate.add_points(
-            self.map, X, ff.desc, nrm,
-            dist * sf / (self.cfg.orb.scale_factor **
-                         (self.cfg.orb.n_levels - 1)),
-            dist * sf, ki, self.frame_id, free)
-        m = mapstate.add_observations(m, ki, pt_idx, ff.xy, ff.octave, free,
-                                      ur=jnp.where(d.valid, d.ur, -1.0))
-        self.map = m
-        self.kf_bindings[ki] = jnp.where(free, pt_idx, kp_pt)
-        from ..slam_map import feature_bank as fbank
-        self.bank = fbank.set_binding(self.bank, ki, self.kf_bindings[ki])
+        self.map, self.bank, kp2 = self._stereo_new_jit(
+            self.map, self.bank, jnp.asarray(ki, jnp.int32), ff,
+            self.kf_bindings[ki], d.ur, d.depth, d.valid,
+            jnp.asarray(self.frame_id, jnp.int32))
+        self.kf_bindings[ki] = kp2

@@ -413,6 +413,19 @@ class System:
             return mapstate.cull_points(m, frame_id)
 
         @jax.jit
+        def _kf_pose_refresh(m, ki, R_cur, t_cur, R_prev, t_prev):
+            """Tracker pose refresh from the optimized keyframe, with
+            the BA correction propagated to the previous-frame pose
+            (constant-velocity model must not see the BA update as
+            inter-frame motion).  TRACED keyframe index: the old eager
+            `m.kf_R[python_int]` gathers baked the index into the
+            executable — a fresh compile every keyframe."""
+            dR, dt_ = lie.se3_compose(m.kf_R[ki], m.kf_t[ki],
+                                      *lie.se3_inverse(R_cur, t_cur))
+            Rp, tp = lie.se3_compose(dR, dt_, R_prev, t_prev)
+            return Rp, tp, m.kf_R[ki], m.kf_t[ki]
+
+        @jax.jit
         def _kf_step(m, bank, ff, kp_pt, R, t, ts, frame_id, kp_ur,
                      center):
             """The whole synchronous keyframe frame as ONE program:
@@ -510,6 +523,7 @@ class System:
         self._local_ba_default = _local_ba
         self._gnss_ba = _gnss_ba
         self._cull = _cull
+        self._kf_pose_refresh = _kf_pose_refresh
         self._compact = _compact
         self._remap_bindings = _remap_bindings
         self._fuse = _fuse
@@ -906,15 +920,10 @@ class System:
             self._refresh_view()
             return
         self.map = m
-        # refresh tracker pose from the optimized keyframe; propagate the
-        # same correction to the previous-frame pose so the constant-
-        # velocity model doesn't see the BA update as inter-frame motion
-        dR, dt_ = lie.se3_compose(
-            m.kf_R[ki], m.kf_t[ki], *lie.se3_inverse(self.R_cur, self.t_cur))
-        self.R_prev, self.t_prev = lie.se3_compose(dR, dt_, self.R_prev,
-                                                   self.t_prev)
-        self.R_cur = m.kf_R[ki]
-        self.t_cur = m.kf_t[ki]
+        self.R_prev, self.t_prev, self.R_cur, self.t_cur = \
+            self._kf_pose_refresh(m, jnp.asarray(ki, jnp.int32),
+                                  self.R_cur, self.t_cur,
+                                  self.R_prev, self.t_prev)
         self._post_ba_stages(ki, ff, ts, view=view)
 
     def _merge_pending(self, force: bool = False) -> None:
