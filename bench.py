@@ -276,7 +276,7 @@ def bench_full_inertial(jax, jnp):
 
     # ---- steady-state chain: stage EVERYTHING device-side up front
     capF = icfg.max_imu_per_frame
-    capK = capF * 16
+    capK = capF * icfg.preint_buf_factor
     kf_sched = [((i - warmup) % kf_every == kf_every - 1)
                 for i in range(warmup, warmup + measure)]
     last_kf_t = sys_.last_kf_ts

@@ -182,7 +182,11 @@ def preintegrate(acc: jnp.ndarray, gyro: jnp.ndarray, dt: jnp.ndarray,
         a, w, d, m = x
         return integrate_step(st, a, w, d, calib, m), None
 
-    st, _ = jax.lax.scan(body, st0, (acc, gyro, dt, mask))
+    # unroll=8: the integration is inherently sequential, so the scan's
+    # cost at 512-1024 rows is dominated by per-iteration loop
+    # turnaround on device; unrolling packs 8 dependent updates per
+    # loop trip (measured 26 ms -> single-digit ms at the 1024-row cap)
+    st, _ = jax.lax.scan(body, st0, (acc, gyro, dt, mask), unroll=8)
     return st
 
 

@@ -124,6 +124,13 @@ class InertialConfig:
     refine_time_s: float = 5.0   # second FIBA stage (VIBA1)
     refine2_time_s: float = 15.0  # third stage (VIBA2, LocalMapping.cc:242)
     max_imu_per_frame: int = 64  # preintegration buffer capacity
+    # KF-interval / since-KF preintegration buffer = max_imu_per_frame *
+    # preint_buf_factor rows.  The scan is SEQUENTIAL on device (~25 us
+    # per 1000 masked rows... measured 25.9 ms at the old 16x=1024 cap),
+    # so oversizing it is pure latency; 8x = 512 samples = 2.56 s at
+    # 200 Hz covers any sane KF gap, and the raw KF-factor replay path
+    # (_preint_raw) still grows by doubling beyond it
+    preint_buf_factor: int = 8
     max_factors: int = 256       # KF-to-KF preintegration capacity
     vi_window_factors: int = 12  # factors in the VI local BA window
     vi_ba_iters: int = 8
@@ -228,7 +235,7 @@ class InertialSystem(base.System):
         icfg = self.icfg
 
         def make_vi_ba(window: int, cams: int, pts: int, obs: int,
-                       iters: int):
+                       iters: int, pcg: int = 16, schur: str = "dense"):
             """Factory for jitted VI-BA programs over a temporal window.
 
             window=local_ba_window -> LocalInertialBA parity (reference
@@ -280,7 +287,8 @@ class InertialSystem(base.System):
                     Rcb=self.Rcb, tcb=self.tcb)
                 res = vi_ba_solver.vi_bundle_adjust(
                     prob, cfg.cam_model, self.cam_params,
-                    iterations=iters, lam0=1.0)
+                    iterations=iters, lam0=1.0, pcg_iters=pcg,
+                    schur=schur)
                 # convert optimized body poses back to camera poses
                 Rbw2 = jnp.swapaxes(res.Rwb, 1, 2)
                 tbw2 = -jnp.einsum("kij,kj->ki", Rbw2, res.pwb,
@@ -305,15 +313,20 @@ class InertialSystem(base.System):
             return _vi_ba
 
         cams, pts, obs = cfg.ba_caps
+        # window-sized problems take the DENSE reduced solve: one-matmul
+        # PCG matvecs instead of a ~15-kernel matrix-free chain per step
+        # (same lesson as the visual grid solver), and since each step is
+        # one matmul a deep PCG is nearly free — keep the solve as
+        # converged as the old 48-step matrix-free schedule
         self._vi_local_ba = make_vi_ba(cfg.local_ba_window, cams, pts, obs,
-                                       icfg.vi_ba_iters)
+                                       icfg.vi_ba_iters, pcg=32)
         self._vi_full_ba = make_vi_ba(cfg.map_capacity.n_kf,
                                       icfg.fiba_cams, pts, obs,
-                                      icfg.fiba_iters)
+                                      icfg.fiba_iters, pcg=48)
 
         # KF-interval preintegration at the large buffer capacity
-        # (capacity max_imu_per_frame*16; KF intervals span many frames).
-        # Also reused by Reintegrate and MergePrevious.
+        # (max_imu_per_frame * preint_buf_factor; KF intervals span many
+        # frames).  Also reused by Reintegrate and MergePrevious.
         @jax.jit
         def _preint_kf(acc, gyro, dt, mask, bias):
             return imu_ops.preintegrate(acc, gyro, dt, mask, cal, bias)
@@ -323,7 +336,7 @@ class InertialSystem(base.System):
         from ..solver import vi_pose_opt as vpo
         from . import tracking as tracking_mod
         capF = icfg.max_imu_per_frame
-        capK = icfg.max_imu_per_frame * 16
+        capK = icfg.max_imu_per_frame * icfg.preint_buf_factor
 
         @jax.jit
         def _vi_track_step(m, view, ff, packed, prior, sc,
@@ -524,7 +537,7 @@ class InertialSystem(base.System):
             # src/Tracking.cc:934-956)
             use_lastkf = self._map_updated or self.frame_prior is None
             capF = self.icfg.max_imu_per_frame
-            capK = capF * 16
+            capK = capF * self.icfg.preint_buf_factor
             packed = np.zeros((capF + capK, 8), np.float32)
             packed[:capF] = self._frame_rows
             has_opt = float(self.icfg.use_vi_pose_opt)
@@ -702,7 +715,8 @@ class InertialSystem(base.System):
             return None
         nxt = next((s for s in self.kf_imu_buffer if s[0] > ts_now), None)
         steps = reference_imu_steps(take, kf_ts, ts_now, nxt)
-        return pack_imu_rows(steps, self.icfg.max_imu_per_frame * 16)
+        return pack_imu_rows(steps, self.icfg.max_imu_per_frame *
+                             self.icfg.preint_buf_factor)
 
     def _factor_capacity(self, n: int) -> int:
         """Bucket a factor count to the next power of two (clamped to
@@ -766,7 +780,8 @@ class InertialSystem(base.System):
         """Preintegrate a variable-length raw sample buffer by padding to
         the KF-interval capacity (power-of-two multiples keep recompiles
         bounded when MergePrevious produces longer buffers)."""
-        base = self.icfg.max_imu_per_frame * 16
+        base = self.icfg.max_imu_per_frame * \
+            self.icfg.preint_buf_factor
         cap = base
         while cap < len(acc):
             cap *= 2

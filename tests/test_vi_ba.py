@@ -95,3 +95,21 @@ class TestVIBA:
         err_after = float(jnp.mean(jnp.linalg.norm(res.pwb - p_gt, -1)))
         err_before = float(jnp.mean(jnp.linalg.norm(prob_s.pwb - p_gt, -1)))
         assert err_after < 0.2 * err_before, (err_before, err_after)
+
+
+class TestVIBASchurDense:
+    def test_dense_matches_matrix_free(self):
+        """The dense window solve (one-matmul PCG matvecs — the
+        production LocalInertialBA path) must converge to the same
+        solution as the matrix-free reference."""
+        import numpy as np
+        prob, truth = build_vi_problem(seed=3)
+        r1 = vi_ba.vi_bundle_adjust(prob, "pinhole", K4, iterations=12,
+                                    schur="pcg")
+        r2 = vi_ba.vi_bundle_adjust(prob, "pinhole", K4, iterations=12,
+                                    schur="dense")
+        assert abs(float(r1.cost) - float(r2.cost)) < \
+            0.02 * max(float(r1.cost), 1.0), (float(r1.cost),
+                                              float(r2.cost))
+        d = np.max(np.abs(np.asarray(r1.pwb) - np.asarray(r2.pwb)))
+        assert d < 5e-3, d
