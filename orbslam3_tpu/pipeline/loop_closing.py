@@ -199,21 +199,28 @@ class LoopCloser:
         self.consistent_groups = []
 
     # ------------------------------------------------------------ detection
-    def detect(self, m: mapstate.MapState, kf_idx: int, ff) -> int:
-        """Returns loop-candidate KF index or -1.
+    def detect(self, m: mapstate.MapState, kf_idx: int, ff) -> list:
+        """Returns the list of consistency-accepted loop-candidate KF
+        indices (best-scored first; empty when none).
 
         Candidates come from DetectNBestCandidates (covisibility-group
         accumulated TF-IDF scores — reference src/KeyFrameDatabase.cc:602);
         acceptance requires the reference's covisibility-consistency
         chains (LoopClosing::DetectLoop): a candidate's covis group must
         intersect a group detected at each of the last
-        `consistency_needed` keyframes."""
+        `consistency_needed` keyframes.  ALL accepted candidates are
+        returned because the reference's ComputeSim3 then tries EACH of
+        them geometrically (src/LoopClosing.cc mvpEnoughConsistent
+        Candidates loop) — the top TF-IDF rank is not always the best
+        geometric match (measured: a 65k-word vocabulary ranks a
+        21-match candidate above a 45-match one on the stressed loop
+        drive)."""
         bow, _ = self._bow(ff.desc, ff.valid)
         cand_idx, cand_score, covis = self._detect_jit(
             m, self.db, bow, jnp.asarray(kf_idx, jnp.int32))
         cand_np = np.asarray(cand_idx)
         covis_np = np.asarray(covis)
-        accepted = -1
+        accepted: list[int] = []
         new_groups: list[tuple[np.ndarray, int]] = []
         prev_masks = np.stack([g for g, _ in self.consistent_groups]) \
             if self.consistent_groups else None
@@ -236,60 +243,77 @@ class LoopCloser:
             # mnCovisibilityConsistencyTh (reference LoopClosing::
             # DetectLoop) — with the default 3 a loop needs 4 consecutive
             # consistent detections, exactly like upstream
-            if count >= self.cfg.consistency_needed and accepted < 0:
-                accepted = cand
+            if count >= self.cfg.consistency_needed:
+                accepted.append(cand)
         self.consistent_groups = new_groups
         return accepted
 
     # ------------------------------------------------------------- closure
     def try_close(self, system, ff, kf_idx: int) -> bool:
         """Full loop attempt for the just-inserted KF.  Mutates system.map
-        on success.  Returns True if a loop was closed."""
+        on success.  Returns True if a loop was closed.
+
+        EVERY consistency-accepted candidate is geometrically evaluated
+        (descriptor matches + Sim3 RANSAC) and the one with the most
+        Sim3 inliers wins — reference ComputeSim3 iterates over all
+        enough-consistent candidates (src/LoopClosing.cc) rather than
+        trusting the TF-IDF ranking."""
         m = system.map
-        cand = self.detect(m, kf_idx, ff)
+        cands = self.detect(m, kf_idx, ff)
         self.add_keyframe(m, kf_idx, ff)
-        if cand < 0:
+        if not cands:
             return False
 
-        # ---- 3D-3D correspondences: cur KF's matched map points vs the
-        # candidate KF's map points, via descriptor matching
         cur_kp_pt = system.kf_bindings.get(kf_idx)
-        cand_ff = system.kf_features.get(cand)
-        cand_kp_pt = system.kf_bindings.get(cand)
-        if cur_kp_pt is None or cand_ff is None or cand_kp_pt is None:
+        if cur_kp_pt is None:
             return False
-        mm = matching.match_nn(
-            ff.desc, cand_ff.desc,
-            mask=(cur_kp_pt >= 0)[:, None] & (cand_kp_pt >= 0)[None, :] &
-                 ff.valid[:, None] & cand_ff.valid[None, :],
-            max_dist=matching.TH_LOW, nn_ratio=0.75,
-            angles_a=ff.angle, angles_b=cand_ff.angle, check_rotation=True)
-        n_matches = int(jnp.sum(mm.valid))
-        if n_matches < self.cfg.min_sim3_matches:
-            return False
-
-        P = m.pt_xyz.shape[0]
-        j = jnp.maximum(mm.idx, 0)
-        pt_cur = jnp.clip(cur_kp_pt, 0, P - 1)
-        pt_cand = jnp.clip(cand_kp_pt[j], 0, P - 1)
-        X_cur = m.pt_xyz[pt_cur]
-        X_cand = m.pt_xyz[pt_cand]
         # fixed-scale Sim3 (i.e. SE3) when the map scale is observable:
         # IMU-initialized or stereo (reference mbFixScale at
         # LoopClosing construction, src/LoopClosing.cc:45 — true for
         # stereo/RGBD and IMU maps)
         fix_scale = bool(getattr(system, "imu_initialized", False)) or \
             system.cfg.stereo_bf > 0.0
-        res = sim3solver.solve_sim3(
-            X_cand, X_cur, mm.valid,
-            cand_ff.xy[j],  # uv of each match in the candidate KF
-            ff.xy,
-            m.kf_R[cand], m.kf_t[cand], m.kf_R[kf_idx], m.kf_t[kf_idx],
-            system.cfg.cam_model, system.cam_params,
-            jax.random.PRNGKey(kf_idx),
-            min_inliers=self.cfg.min_sim3_inliers, fix_scale=fix_scale)
-        if not bool(res.success):
+        P = m.pt_xyz.shape[0]
+        best = None          # (n_inliers, cand, res, n_matches)
+        for cand in cands:
+            # ---- 3D-3D correspondences: cur KF's matched map points vs
+            # the candidate KF's map points, via descriptor matching
+            cand_ff = system.kf_features.get(cand)
+            cand_kp_pt = system.kf_bindings.get(cand)
+            if cand_ff is None or cand_kp_pt is None:
+                continue
+            mm = matching.match_nn(
+                ff.desc, cand_ff.desc,
+                mask=(cur_kp_pt >= 0)[:, None] &
+                     (cand_kp_pt >= 0)[None, :] &
+                     ff.valid[:, None] & cand_ff.valid[None, :],
+                max_dist=matching.TH_LOW, nn_ratio=0.75,
+                angles_a=ff.angle, angles_b=cand_ff.angle,
+                check_rotation=True)
+            n_matches = int(jnp.sum(mm.valid))
+            if n_matches < self.cfg.min_sim3_matches:
+                continue
+            j = jnp.maximum(mm.idx, 0)
+            pt_cur = jnp.clip(cur_kp_pt, 0, P - 1)
+            pt_cand = jnp.clip(cand_kp_pt[j], 0, P - 1)
+            res_c = sim3solver.solve_sim3(
+                m.pt_xyz[pt_cand], m.pt_xyz[pt_cur], mm.valid,
+                cand_ff.xy[j],  # uv of each match in the candidate KF
+                ff.xy,
+                m.kf_R[cand], m.kf_t[cand], m.kf_R[kf_idx],
+                m.kf_t[kf_idx],
+                system.cfg.cam_model, system.cam_params,
+                jax.random.PRNGKey(kf_idx),
+                min_inliers=self.cfg.min_sim3_inliers,
+                fix_scale=fix_scale)
+            if not bool(res_c.success):
+                continue
+            n_inl = int(res_c.n_inliers)
+            if best is None or n_inl > best[0]:
+                best = (n_inl, cand, res_c, n_matches)
+        if best is None:
             return False
+        _, cand, res, n_matches = best
 
         # solve_sim3(X_cand, X_cur) maps cur-camera coords INTO the loop
         # KF's camera; the correction pipeline wants loop -> cur: invert.
